@@ -1,0 +1,135 @@
+"""ResNet generator and patch discriminator.
+
+Functional re-design of the reference's canonical-CycleGAN builders
+(cyclegan/resnet.py:26-105): reflection-padded 7x7 stem, two stride-2
+downsamples, nine residual blocks with non-affine instance norm, two
+conv-transpose upsamples, tanh head; and the N-level stride-2 patch
+discriminator emitting 1-channel logits/probabilities per patch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from cyclegan_tpu.models.base import (
+    KeyGen,
+    Model,
+    apply_norm,
+    init_conv,
+    init_norm,
+)
+from cyclegan_tpu.ops import (
+    conv2d,
+    conv2d_transpose,
+    instance_norm,
+    leaky_relu,
+    reflection_pad2d,
+)
+
+N_RESIDUAL_BLOCKS = 9  # cyclegan/resnet.py:71-79
+
+
+def resnet_generator(config: Mapping[str, Any]) -> Model:
+    """9-block ResNet generator (reference: cyclegan/resnet.py:63-85).
+
+    Mandatory config field: ``filters`` (an int). All instance norms are
+    non-affine (center=False, scale=False — cyclegan/resnet.py:29,44,51,58),
+    so the only parameters are conv kernels and biases.
+    """
+    f = int(config["filters"])
+
+    def init(key: jax.Array):
+        keys = KeyGen(key)
+        params: Dict[str, Any] = {
+            "stem": init_conv(keys, 7, 3, f),
+            "down": [
+                init_conv(keys, 3, f, 2 * f),
+                init_conv(keys, 3, 2 * f, 4 * f),
+            ],
+            "res": [
+                {
+                    "conv1": init_conv(keys, 3, 4 * f, 4 * f),
+                    "conv2": init_conv(keys, 3, 4 * f, 4 * f),
+                }
+                for _ in range(N_RESIDUAL_BLOCKS)
+            ],
+            "up": [
+                init_conv(keys, 3, 4 * f, 2 * f, transpose=True),
+                init_conv(keys, 3, 2 * f, f, transpose=True),
+            ],
+            "head": init_conv(keys, 7, f, 3),
+        }
+        return params, {}
+
+    def apply(params, state, x, train=False, rng=None):
+        del state, train, rng  # purely instance-normed, stateless
+        # conv7s1 stem (resnet.py:38-46)
+        x = reflection_pad2d(x, (3, 3))
+        x = conv2d(x, params["stem"]["w"], params["stem"]["b"], padding="VALID")
+        x = jax.nn.relu(instance_norm(x))
+        # two stride-2 downsamples (resnet.py:49-53)
+        for p in params["down"]:
+            x = conv2d(x, p["w"], p["b"], stride=2)
+            x = jax.nn.relu(instance_norm(x))
+        # residual blocks (resnet.py:26-35)
+        for p in params["res"]:
+            y = reflection_pad2d(x, (1, 1))
+            y = conv2d(y, p["conv1"]["w"], p["conv1"]["b"], padding="VALID")
+            y = jax.nn.relu(instance_norm(y))
+            y = reflection_pad2d(y, (1, 1))
+            y = conv2d(y, p["conv2"]["w"], p["conv2"]["b"], padding="VALID")
+            y = instance_norm(y)
+            x = x + y
+        # two stride-2 upsamples (resnet.py:56-60)
+        for p in params["up"]:
+            x = conv2d_transpose(x, p["w"], p["b"], stride=2)
+            x = jax.nn.relu(instance_norm(x))
+        # tanh head (resnet.py:42-43)
+        x = reflection_pad2d(x, (3, 3))
+        x = conv2d(x, params["head"]["w"], params["head"]["b"], padding="VALID")
+        return jnp.tanh(x), {}
+
+    return Model(init=init, apply=apply)
+
+
+def simple_discriminator(config: Mapping[str, Any]) -> Model:
+    """Patch discriminator (reference: cyclegan/resnet.py:87-105).
+
+    N stride-2 convs with non-affine norm + LeakyReLU(0.2), then a 1x1 conv
+    to a single-channel patch map of logits. Mandatory fields
+    (unittests/test_resnet.py:11-18): filters, kernels, normalization.
+    """
+    filters = list(config["filters"])
+    kernels = list(config["kernels"])
+    norm = config["normalization"]
+    in_channels = int(config.get("in_channels", 3))
+
+    def init(key: jax.Array):
+        keys = KeyGen(key)
+        params: Dict[str, Any] = {"blocks": []}
+        state: Dict[str, Any] = {"blocks": []}
+        c = in_channels
+        for k, f in zip(kernels, filters):
+            conv_p = init_conv(keys, k, c, f)
+            norm_p, norm_s = init_norm(keys, norm, f, affine=False)
+            params["blocks"].append({"conv": conv_p, "norm": norm_p})
+            state["blocks"].append({"norm": norm_s})
+            c = f
+        params["head"] = init_conv(keys, 1, c, 1)
+        return params, state
+
+    def apply(params, state, x, train=False, rng=None):
+        del rng
+        new_state: Dict[str, Any] = {"blocks": []}
+        for p, s in zip(params["blocks"], state["blocks"]):
+            x = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=2)
+            x, ns = apply_norm(p["norm"], s["norm"], x, norm, train)
+            x = leaky_relu(x, 0.2)
+            new_state["blocks"].append({"norm": ns})
+        x = conv2d(x, params["head"]["w"], params["head"]["b"], stride=1)
+        return x, new_state
+
+    return Model(init=init, apply=apply)

@@ -1,0 +1,26 @@
+"""Primitive NHWC image ops with TF-compatible semantics, built on XLA.
+
+Everything here is a pure function of arrays, safe under jit/vmap/grad and
+shardable under pjit. Parameter-creating layers live in
+``cyclegan_tpu.ops.layers``.
+"""
+
+from cyclegan_tpu.ops.activations import apply_activation, leaky_relu
+from cyclegan_tpu.ops.conv import conv2d, conv2d_transpose
+from cyclegan_tpu.ops.norm import batch_norm_stats, instance_norm
+from cyclegan_tpu.ops.pad import reflection_pad2d
+from cyclegan_tpu.ops.pool import avg_pool2x2
+from cyclegan_tpu.ops.resize import resize_bilinear, upsample_nearest_2x
+
+__all__ = [
+    "apply_activation",
+    "leaky_relu",
+    "conv2d",
+    "conv2d_transpose",
+    "instance_norm",
+    "batch_norm_stats",
+    "reflection_pad2d",
+    "avg_pool2x2",
+    "resize_bilinear",
+    "upsample_nearest_2x",
+]

@@ -1,0 +1,92 @@
+"""Convolution ops with TF-compatible 'SAME' semantics, NHWC layout.
+
+These map directly onto the TPU MXU via XLA's convolution lowering; the
+framework keeps them large and batched (no per-sample Python loops) so XLA
+can tile them onto the 128x128 systolic array, and threads a
+``preferred_element_type`` so bf16 inputs accumulate in f32.
+"""
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+# NHWC activations, HWIO kernels.
+_DN_CONV = ("NHWC", "HWIO", "NHWC")
+# Transpose-conv kernels are stored TF-style (kh, kw, C_out, C_in) = HWOI.
+_DN_CONV_T = ("NHWC", "HWOI", "NHWC")
+
+
+def conv2d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: str = "SAME",
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """2-D convolution, NHWC x HWIO -> NHWC.
+
+    ``padding='SAME'`` follows the TF convention (odd total padding goes to
+    the bottom/right), which is also XLA's 'SAME' — this is what makes the
+    stride-2 paths of the reference's strided_unet/discriminators
+    (cyclegan/unet.py:54, cyclegan/resnet.py:50,97) numerically reproducible.
+    """
+    out = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=_DN_CONV,
+        preferred_element_type=accum_dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def _tf_same_pad(kernel: int, stride: int) -> Tuple[int, int]:
+    """TF 'SAME' (pad_before, pad_after) for an input divisible by stride."""
+    pad_total = max(kernel - stride, 0)
+    pad_before = pad_total // 2
+    return pad_before, pad_total - pad_before
+
+
+def conv2d_transpose(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 2,
+    accum_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """TF-compatible ``Conv2DTranspose(..., padding='same')``.
+
+    The kernel is stored in the TF layout (kh, kw, C_out, C_in). TF computes
+    conv-transpose as the input-gradient of a forward conv, which equals a
+    convolution of the stride-dilated input with the spatially-flipped
+    kernel under adjusted padding:
+
+        pad_before' = k - 1 - pad_before
+        pad_after'  = s - 1 + pad_before
+
+    so the output is exactly ``H*s x W*s`` (reference uses this in
+    cyclegan/unet.py:66,76 and cyclegan/resnet.py:57).
+    """
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pb_h, _ = _tf_same_pad(kh, stride)
+    pb_w, _ = _tf_same_pad(kw, stride)
+    pad_h = (kh - 1 - pb_h, stride - 1 + pb_h)
+    pad_w = (kw - 1 - pb_w, stride - 1 + pb_w)
+    flipped = kernel[::-1, ::-1, :, :]
+    out = lax.conv_general_dilated(
+        x,
+        flipped,
+        window_strides=(1, 1),
+        padding=(pad_h, pad_w),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DN_CONV_T,
+        preferred_element_type=accum_dtype,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)

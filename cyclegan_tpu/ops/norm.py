@@ -1,0 +1,75 @@
+"""Normalization ops.
+
+Instance norm matches ``tensorflow_addons.layers.InstanceNormalization``
+(GroupNormalization with groups = channels), whose default epsilon is 1e-3.
+The reference uses the affine variant in the U-Nets (cyclegan/unet.py:30,56)
+and the non-affine variant (center=False, scale=False) in the resnet
+generator and discriminators (cyclegan/resnet.py:29,44,51,58,98).
+"""
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+TFA_EPSILON = 1e-3
+
+
+def instance_norm(
+    x: jnp.ndarray,
+    gamma: Optional[jnp.ndarray] = None,
+    beta: Optional[jnp.ndarray] = None,
+    eps: float = TFA_EPSILON,
+) -> jnp.ndarray:
+    """Per-(sample, channel) spatial normalization of an NHWC tensor.
+
+    Statistics are computed in f32 regardless of input dtype so bf16
+    activations stay numerically stable; XLA fuses the whole epilogue into
+    the producing conv where profitable (a Pallas variant lives in
+    ``cyclegan_tpu.ops.pallas_norm``).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma
+    if beta is not None:
+        y = y + beta
+    return y.astype(x.dtype)
+
+
+def batch_norm_stats(
+    x: jnp.ndarray,
+    gamma: Optional[jnp.ndarray],
+    beta: Optional[jnp.ndarray],
+    moving_mean: jnp.ndarray,
+    moving_var: jnp.ndarray,
+    train: bool,
+    eps: float = 1e-3,
+    momentum: float = 0.99,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Keras-style BatchNormalization over (N, H, W) per channel.
+
+    Returns ``(y, new_moving_mean, new_moving_var)``. In train mode the
+    batch statistics normalize and the moving statistics are EMA-updated
+    (Keras momentum convention: new = old * momentum + batch * (1-momentum));
+    in eval mode the moving statistics normalize and pass through unchanged.
+    The reference exposes batchnorm as the ``normalization: batchnorm``
+    config option (cyclegan/unet.py:28-29,55-57).
+    """
+    xf = x.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        new_mean = moving_mean * momentum + mean * (1.0 - momentum)
+        new_var = moving_var * momentum + var * (1.0 - momentum)
+    else:
+        mean, var = moving_mean, moving_var
+        new_mean, new_var = moving_mean, moving_var
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma
+    if beta is not None:
+        y = y + beta
+    return y.astype(x.dtype), new_mean, new_var

@@ -1,0 +1,30 @@
+"""Resize / upsample ops (NHWC)."""
+
+import jax
+import jax.numpy as jnp
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour 2x upsample, matching Keras ``UpSampling2D()``
+    defaults used on the U-Net up path (cyclegan/unet.py:109).
+
+    Implemented with broadcast+reshape (no gather), which XLA lowers to a
+    cheap layout change on TPU.
+    """
+    n, h, w, c = x.shape
+    out = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return out.reshape(n, 2 * h, 2 * w, c)
+
+
+def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Bilinear resize matching ``tf.image.resize`` defaults.
+
+    TF2's resize uses half-pixel centers without antialiasing;
+    ``jax.image.resize`` implements the same sampling, but defaults to
+    antialias=True — so it is disabled here. Used by the input pipeline
+    (transform/data_load.py:22,40) and the inference path (predict.py:22).
+    """
+    shape = (x.shape[0], height, width, x.shape[3])
+    return jax.image.resize(
+        x.astype(jnp.float32), shape, method="bilinear", antialias=False
+    ).astype(x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32)

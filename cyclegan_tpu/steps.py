@@ -1,0 +1,321 @@
+"""Jitted CycleGAN train/validate steps.
+
+TPU-first re-design of the reference's ``@tf.function`` steps
+(cyclegan/model.py:91-154). The reference runs one shared forward set
+(6 generator + 4 discriminator applications) under a persistent
+GradientTape and then four separate backward passes (tape.gradient x4,
+cyclegan/model.py:143-147). Here the same gradient flow is produced by a
+SINGLE backward pass over one scalar:
+
+- adversarial generator terms use discriminators with **stop_gradient on
+  the discriminator params**, so they contribute only generator gradients;
+- discriminator terms use **stop_gradient on the fake images**, so they
+  contribute only discriminator gradients;
+- the duplicated discriminator applications are identical in the forward
+  HLO (stop_gradient is identity), so XLA CSEs them — the forward cost
+  stays at 6 G + 4 D applications.
+
+The per-parameter-group gradients of this scalar are exactly the
+reference's four tape.gradients, including the shared cycle term flowing
+into both generators (cyclegan/model.py:108-121) and the adversarial loss
+NOT stopping gradients through the discriminators for the generator update.
+``tests/test_steps.py`` asserts equality against a naive 4-backward
+implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cyclegan_tpu.losses import (
+    accuracy,
+    calc_cycle_loss,
+    discriminator_loss,
+    generator_loss,
+    get_loss_obj,
+    identity_loss,
+)
+from cyclegan_tpu.models.base import Model
+
+NETWORKS = ("g_AB", "g_BA", "d_A", "d_B")
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TrainState:
+    """One pytree holding everything the reference keeps in the stateful
+    ``CycleGan`` object: 4 networks' params + model state, 4 optimizer
+    states, the step RNG and the epoch/step counters
+    (cyclegan/model.py:58-89)."""
+
+    params: Dict[str, Any]
+    model_state: Dict[str, Any]
+    opt_state: Dict[str, Any]
+    rng: jax.Array
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        children = (self.params, self.model_state, self.opt_state, self.rng, self.step)
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+
+def init_train_state(
+    key: jax.Array,
+    models: Mapping[str, Model],
+    optimizers: Mapping[str, optax.GradientTransformation],
+) -> TrainState:
+    """Initialize all four networks and their optimizers from one key."""
+    keys = jax.random.split(key, len(NETWORKS) + 1)
+    params: Dict[str, Any] = {}
+    model_state: Dict[str, Any] = {}
+    opt_state: Dict[str, Any] = {}
+    for net_key, name in zip(keys[:-1], NETWORKS):
+        params[name], model_state[name] = models[name].init(net_key)
+        opt_state[name] = optimizers[name].init(params[name])
+    return TrainState(
+        params=params,
+        model_state=model_state,
+        opt_state=opt_state,
+        rng=keys[-1],
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _forward_losses(
+    params: Dict[str, Any],
+    model_state: Dict[str, Any],
+    models: Mapping[str, Model],
+    loss_obj: Callable,
+    loss_weights: Mapping[str, float],
+    real_a: jnp.ndarray,
+    real_b: jnp.ndarray,
+    train: bool,
+    rng: Optional[jax.Array],
+    stop_grads: bool,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
+    """Shared forward set + losses (reference: validate_step,
+    cyclegan/model.py:91-134).
+
+    Returns (surrogate_total, metrics, new_model_state). With
+    ``stop_grads=True`` the surrogate's gradient w.r.t. each parameter
+    group equals the reference's per-group tape.gradient.
+    """
+    sg = jax.lax.stop_gradient if stop_grads else (lambda x: x)
+    rngs = (
+        jax.random.split(rng, 6)
+        if rng is not None
+        else [None] * 6
+    )
+
+    def g_ab(x, r):
+        return models["g_AB"].apply(params["g_AB"], model_state["g_AB"], x,
+                                     train=train, rng=r)
+
+    def g_ba(x, r):
+        return models["g_BA"].apply(params["g_BA"], model_state["g_BA"], x,
+                                     train=train, rng=r)
+
+    def d_a(p, x):
+        return models["d_A"].apply(p, model_state["d_A"], x, train=train)
+
+    def d_b(p, x):
+        return models["d_B"].apply(p, model_state["d_B"], x, train=train)
+
+    fake_b, st_gab1 = g_ab(real_a, rngs[0])
+    cycled_a, st_gba1 = g_ba(fake_b, rngs[1])
+    fake_a, st_gba2 = g_ba(real_b, rngs[2])
+    cycled_b, st_gab2 = g_ab(fake_a, rngs[3])
+    same_a, _ = g_ba(real_a, rngs[4])
+    same_b, _ = g_ab(real_b, rngs[5])
+
+    # Generator-view discriminator outputs: disc params stopped, so the
+    # adversarial terms backprop only into the generators.
+    disc_fake_a_gen, _ = d_a(sg(params["d_A"]), fake_a)
+    disc_fake_b_gen, _ = d_b(sg(params["d_B"]), fake_b)
+    # Discriminator-view outputs: fakes stopped, so the discriminator terms
+    # backprop only into the discriminators. Forward-identical to the
+    # generator-view applications -> CSE'd by XLA.
+    disc_real_a, st_da1 = d_a(params["d_A"], real_a)
+    disc_real_b, st_db1 = d_b(params["d_B"], real_b)
+    disc_fake_a_d, st_da2 = d_a(params["d_A"], sg(fake_a))
+    disc_fake_b_d, st_db2 = d_b(params["d_B"], sg(fake_b))
+
+    w = loss_weights
+    gAB_adv = generator_loss(disc_fake_b_gen, loss_obj, w["generator"])
+    gBA_adv = generator_loss(disc_fake_a_gen, loss_obj, w["generator"])
+    total_cycle_loss = calc_cycle_loss(real_a, cycled_a, w["cycle"]) + calc_cycle_loss(
+        real_b, cycled_b, w["cycle"]
+    )
+    id_a = identity_loss(real_a, same_a, w["identity"])
+    id_b = identity_loss(real_b, same_b, w["identity"])
+    total_gAB_loss = gAB_adv + total_cycle_loss + id_b
+    total_gBA_loss = gBA_adv + total_cycle_loss + id_a
+    da_loss = discriminator_loss(disc_real_a, disc_fake_a_d, loss_obj,
+                                 w["discriminator"])
+    db_loss = discriminator_loss(disc_real_b, disc_fake_b_d, loss_obj,
+                                 w["discriminator"])
+
+    # One scalar whose per-group gradients equal the four reference
+    # gradients: the shared cycle term appears once (it already flows to
+    # both generators), identities and adversarial terms per-generator.
+    surrogate = gAB_adv + gBA_adv + total_cycle_loss + id_a + id_b + da_loss + db_loss
+
+    metrics = dict(
+        gAB_loss=total_gAB_loss,
+        gBA_loss=total_gBA_loss,
+        dA_loss=da_loss,
+        dB_loss=db_loss,
+        dA_acc=accuracy(disc_real_a, disc_fake_a_d),
+        dB_acc=accuracy(disc_real_b, disc_fake_b_d),
+    )
+    # Batch-norm state updates: generators see two passes per step; keep the
+    # last one per network (matching sequential Keras update order).
+    new_model_state = dict(
+        g_AB=st_gab2 if st_gab2 else st_gab1,
+        g_BA=st_gba2 if st_gba2 else st_gba1,
+        d_A=st_da2 if st_da2 else st_da1,
+        d_B=st_db2 if st_db2 else st_db1,
+    )
+    return surrogate, metrics, new_model_state
+
+
+def make_validate_step(
+    models: Mapping[str, Model],
+    loss_name: str,
+    loss_weights: Mapping[str, float],
+) -> Callable:
+    """Build the jitted eval step (reference: validate_step with
+    training=False, cyclegan/model.py:91-134, called at :219-223)."""
+    loss_obj = get_loss_obj(loss_name)
+    weights = {k: float(v) for k, v in dict(loss_weights).items()}
+
+    @jax.jit
+    def validate_step(state: TrainState, real_a, real_b):
+        _, metrics, _ = _forward_losses(
+            state.params,
+            state.model_state,
+            models,
+            loss_obj,
+            weights,
+            real_a,
+            real_b,
+            train=False,
+            rng=None,
+            stop_grads=False,
+        )
+        return metrics
+
+    return validate_step
+
+
+def make_train_step(
+    models: Mapping[str, Model],
+    optimizers: Mapping[str, optax.GradientTransformation],
+    loss_name: str,
+    loss_weights: Mapping[str, float],
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step: one forward set, ONE backward pass,
+    four optimizer updates (reference: train_step, cyclegan/model.py:136-154).
+
+    The returned function has signature ``(state, real_a, real_b) ->
+    (new_state, metrics)`` and donates ``state`` so parameter buffers are
+    updated in place on device.
+    """
+    loss_obj = get_loss_obj(loss_name)
+    weights = {k: float(v) for k, v in dict(loss_weights).items()}
+
+    def loss_fn(params, model_state, real_a, real_b, rng):
+        surrogate, metrics, new_model_state = _forward_losses(
+            params,
+            model_state,
+            models,
+            loss_obj,
+            weights,
+            real_a,
+            real_b,
+            train=True,
+            rng=rng,
+            stop_grads=True,
+        )
+        return surrogate, (metrics, new_model_state)
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, real_a, real_b):
+        rng, step_rng = jax.random.split(state.rng)
+        grads, (metrics, new_model_state) = grad_fn(
+            state.params, state.model_state, real_a, real_b, step_rng
+        )
+        new_params = {}
+        new_opt_state = {}
+        for name in NETWORKS:
+            updates, new_opt_state[name] = optimizers[name].update(
+                grads[name], state.opt_state[name], state.params[name]
+            )
+            new_params[name] = optax.apply_updates(state.params[name], updates)
+        return (
+            TrainState(
+                params=new_params,
+                model_state=new_model_state,
+                opt_state=new_opt_state,
+                rng=rng,
+                step=state.step + 1,
+            ),
+            metrics,
+        )
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def reference_gradients(
+    models: Mapping[str, Model],
+    loss_name: str,
+    loss_weights: Mapping[str, float],
+    params: Dict[str, Any],
+    model_state: Dict[str, Any],
+    real_a: jnp.ndarray,
+    real_b: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, Any]:
+    """Naive 4-backward-pass gradients, exactly as the reference's four
+    ``tape.gradient`` calls compute them (cyclegan/model.py:143-147).
+
+    Used by the test-suite to verify the single-backward surrogate.
+    """
+    loss_obj = get_loss_obj(loss_name)
+    weights = {k: float(v) for k, v in dict(loss_weights).items()}
+
+    def metrics_for(p):
+        _, metrics, _ = _forward_losses(
+            p, model_state, models, loss_obj, weights, real_a, real_b,
+            train=True, rng=rng, stop_grads=False,
+        )
+        return metrics
+
+    grads: Dict[str, Any] = {}
+    for name, metric in (
+        ("g_AB", "gAB_loss"),
+        ("g_BA", "gBA_loss"),
+        ("d_A", "dA_loss"),
+        ("d_B", "dB_loss"),
+    ):
+
+        def scoped_loss(group_params, name=name, metric=metric):
+            p = dict(params)
+            p[name] = group_params
+            return metrics_for(p)[metric]
+
+        grads[name] = jax.grad(scoped_loss)(params[name])
+    return grads

@@ -1,0 +1,13 @@
+"""Test configuration: force a CPU backend with 8 virtual devices so the
+data-parallel (mesh/pjit) paths are exercised without TPU hardware — the
+JAX-idiomatic fake-backend strategy (SURVEY.md §4)."""
+
+import os
+
+# Must run before the first `import jax` anywhere in the test session.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
