@@ -1,0 +1,154 @@
+"""Train/validate step tests, including the key correctness property:
+the single-backward surrogate's per-group gradients equal the reference's
+four separate tape.gradient backward passes (cyclegan/model.py:143-147)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cyclegan_tpu.models import simple_discriminator, unet_generator
+from cyclegan_tpu.optimizers import get_optimizer
+from cyclegan_tpu.steps import (
+    NETWORKS,
+    init_train_state,
+    make_train_step,
+    make_validate_step,
+    reference_gradients,
+)
+
+GEN_CFG = dict(
+    filters=[4, 4],
+    kernels=[3, 3],
+    output_channels=3,
+    expansion="upsample",
+    normalization="instancenorm",
+    dropout=False,
+    final_activation="tanh",
+)
+DISC_CFG = dict(
+    filters=[4, 4],
+    kernels=[3, 3],
+    output_channels=1,
+    expansion="upsample",
+    normalization="instancenorm",
+    dropout=False,
+    final_activation="sigmoid",
+)
+LOSS_WEIGHTS = dict(cycle=2.0, identity=0.5, generator=1.0, discriminator=0.5)
+OPT_CFG = dict(name="adam", learning_rate=2e-4, beta_1=0.5)
+
+
+def build_models():
+    return {
+        "g_AB": unet_generator(GEN_CFG),
+        "g_BA": unet_generator(GEN_CFG),
+        "d_A": simple_discriminator(
+            dict(filters=[4, 4], kernels=[3, 3], normalization="instancenorm")
+        ),
+        "d_B": simple_discriminator(
+            dict(filters=[4, 4], kernels=[3, 3], normalization="instancenorm")
+        ),
+    }
+
+
+def build_state(models):
+    optimizers = {name: get_optimizer(OPT_CFG) for name in NETWORKS}
+    state = init_train_state(jax.random.PRNGKey(0), models, optimizers)
+    return state, optimizers
+
+
+@pytest.fixture(scope="module")
+def batch():
+    ka, kb = jax.random.split(jax.random.PRNGKey(42))
+    real_a = jax.random.uniform(ka, (2, 16, 16, 3), minval=-1.0, maxval=1.0)
+    real_b = jax.random.uniform(kb, (2, 16, 16, 3), minval=-1.0, maxval=1.0)
+    return real_a, real_b
+
+
+@pytest.mark.parametrize("loss_name", ["mse", "mae", "bce"])
+def test_single_backward_matches_reference_gradients(batch, loss_name):
+    """The load-bearing parity test: our one-backward surrogate vs the
+    naive four-backward formulation (what TF's persistent tape computes)."""
+    models = build_models()
+    state, _ = build_state(models)
+    real_a, real_b = batch
+
+    ref_grads = reference_gradients(
+        models, loss_name, LOSS_WEIGHTS, state.params, state.model_state,
+        real_a, real_b,
+    )
+
+    from cyclegan_tpu.losses import get_loss_obj
+    from cyclegan_tpu.steps import _forward_losses
+
+    def surrogate(params):
+        total, _, _ = _forward_losses(
+            params, state.model_state, models, get_loss_obj(loss_name),
+            LOSS_WEIGHTS, real_a, real_b, train=True, rng=None, stop_grads=True,
+        )
+        return total
+
+    fast_grads = jax.grad(surrogate)(state.params)
+
+    for name in NETWORKS:
+        ref_flat, _ = jax.flatten_util.ravel_pytree(ref_grads[name])
+        fast_flat, _ = jax.flatten_util.ravel_pytree(fast_grads[name])
+        np.testing.assert_allclose(
+            np.asarray(fast_flat), np.asarray(ref_flat), atol=1e-5, rtol=1e-4,
+        )
+
+
+def test_train_step_updates_all_networks(batch):
+    models = build_models()
+    state, optimizers = build_state(models)
+    train_step = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                                 donate=False)
+    real_a, real_b = batch
+    new_state, metrics = train_step(state, real_a, real_b)
+
+    for name in NETWORKS:
+        before, _ = jax.flatten_util.ravel_pytree(state.params[name])
+        after, _ = jax.flatten_util.ravel_pytree(new_state.params[name])
+        assert not np.allclose(np.asarray(before), np.asarray(after)), name
+
+    assert int(new_state.step) == 1
+    for key in ("gAB_loss", "gBA_loss", "dA_loss", "dB_loss", "dA_acc", "dB_acc"):
+        value = float(metrics[key])
+        assert np.isfinite(value), key
+
+
+def test_validate_step_metrics_and_purity(batch):
+    models = build_models()
+    state, _ = build_state(models)
+    validate_step = make_validate_step(models, "mse", LOSS_WEIGHTS)
+    real_a, real_b = batch
+    m1 = validate_step(state, real_a, real_b)
+    m2 = validate_step(state, real_a, real_b)
+    for key in m1:
+        assert float(m1[key]) == pytest.approx(float(m2[key]))
+    assert 0.0 <= float(m1["dA_acc"]) <= 1.0
+
+
+def test_train_step_decreases_generator_loss(batch):
+    """A few steps of optimization should reduce the generator losses on a
+    fixed batch — the end-to-end sanity check for the whole vertical."""
+    models = build_models()
+    state, optimizers = build_state(models)
+    train_step = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                                 donate=False)
+    real_a, real_b = batch
+    state, first = train_step(state, real_a, real_b)
+    for _ in range(10):
+        state, metrics = train_step(state, real_a, real_b)
+    assert float(metrics["gAB_loss"]) < float(first["gAB_loss"])
+
+
+def test_train_step_rng_advances(batch):
+    models = build_models()
+    state, optimizers = build_state(models)
+    train_step = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                                 donate=False)
+    real_a, real_b = batch
+    new_state, _ = train_step(state, real_a, real_b)
+    assert not np.array_equal(np.asarray(state.rng), np.asarray(new_state.rng))
