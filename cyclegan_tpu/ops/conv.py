@@ -17,6 +17,15 @@ _DN_CONV = ("NHWC", "HWIO", "NHWC")
 _DN_CONV_T = ("NHWC", "HWOI", "NHWC")
 
 
+def _precision_for(x: jnp.ndarray):
+    """Precision policy: f32 inputs use HIGHEST so TPU MXU passes reproduce
+    TF-f32 numerics (the 1e-3 parity requirement); bf16 inputs take the
+    fast single-pass MXU path with f32 accumulation."""
+    if x.dtype == jnp.float32:
+        return lax.Precision.HIGHEST
+    return None
+
+
 def conv2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -39,6 +48,7 @@ def conv2d(
         padding=padding,
         dimension_numbers=_DN_CONV,
         preferred_element_type=accum_dtype,
+        precision=_precision_for(x),
     )
     if bias is not None:
         out = out + bias
@@ -86,6 +96,7 @@ def conv2d_transpose(
         lhs_dilation=(stride, stride),
         dimension_numbers=_DN_CONV_T,
         preferred_element_type=accum_dtype,
+        precision=_precision_for(x),
     )
     if bias is not None:
         out = out + bias

@@ -5,7 +5,9 @@ JAX-idiomatic fake-backend strategy (SURVEY.md §4)."""
 import os
 
 # Must run before the first `import jax` anywhere in the test session.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the harness environment pins JAX_PLATFORMS to the TPU backend,
+# but unit tests must run hermetically on the 8-device virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,139 @@
+"""Numerical-parity tests against TensorFlow's op conventions.
+
+The north star requires outputs to match the TF reference to 1e-3 on fixed
+weights (BASELINE.json). These tests pin the risky convention points:
+SAME-padding asymmetry, Conv2DTranspose gradient-of-conv semantics,
+tf.image.resize half-pixel sampling, Keras loss reductions, and Keras Adam
+update math. Skipped when TF is not installed.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from cyclegan_tpu.losses import get_loss_obj  # noqa: E402
+from cyclegan_tpu.ops import (  # noqa: E402
+    avg_pool2x2,
+    conv2d,
+    conv2d_transpose,
+    leaky_relu,
+    resize_bilinear,
+    upsample_nearest_2x,
+)
+
+RNG = np.random.default_rng(1234)
+
+
+def rand(*shape):
+    return RNG.normal(size=shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+@pytest.mark.parametrize("hw,k", [(16, 3), (16, 4), (17, 4), (15, 7), (16, 5)])
+def test_conv2d_same_matches_tf(stride, hw, k):
+    x = rand(2, hw, hw, 3)
+    w = rand(k, k, 3, 5) * 0.1
+    ours = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w), stride=stride))
+    theirs = tf.nn.conv2d(x, w, strides=stride, padding="SAME").numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+@pytest.mark.parametrize("k", [3, 4, 5, 7])
+def test_conv2d_transpose_matches_keras(k):
+    x = rand(2, 8, 8, 6)
+    layer = tf.keras.layers.Conv2DTranspose(
+        4, kernel_size=k, strides=2, padding="same", use_bias=True
+    )
+    theirs = layer(x).numpy()
+    w, b = layer.get_weights()  # w: (k, k, out, in)
+    ours = np.asarray(
+        conv2d_transpose(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), stride=2)
+    )
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+
+
+def test_avg_pool_matches_keras():
+    x = rand(2, 16, 16, 4)
+    # (this Keras build requires pool_size explicitly; 2/2/valid are the
+    # Keras defaults the reference relies on at cyclegan/unet.py:101)
+    theirs = tf.nn.avg_pool2d(x, 2, 2, "VALID").numpy()
+    ours = np.asarray(avg_pool2x2(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_upsample_matches_keras():
+    x = rand(2, 8, 8, 4)
+    theirs = tf.keras.layers.UpSampling2D()(x).numpy()
+    ours = np.asarray(upsample_nearest_2x(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, atol=0)
+
+
+@pytest.mark.parametrize("src,dst", [(128, 178), (178, 128), (64, 256), (100, 77)])
+def test_resize_bilinear_matches_tf(src, dst):
+    x = rand(1, src, src, 3)
+    theirs = tf.image.resize(x, [dst, dst]).numpy()
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), dst, dst))
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_leaky_relu_matches_keras():
+    x = rand(4, 4)
+    theirs = tf.keras.layers.LeakyReLU(0.2)(x).numpy()
+    ours = np.asarray(leaky_relu(jnp.asarray(x), 0.2))
+    np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_keras_loss_reductions_match():
+    y = rand(4, 8, 8, 1)
+    t = (RNG.random((4, 8, 8, 1)) > 0.5).astype(np.float32)
+    assert float(get_loss_obj("mse")(jnp.asarray(t), jnp.asarray(y))) == pytest.approx(
+        float(tf.keras.losses.MeanSquaredError()(t, y)), rel=1e-5
+    )
+    assert float(get_loss_obj("mae")(jnp.asarray(t), jnp.asarray(y))) == pytest.approx(
+        float(tf.keras.losses.MeanAbsoluteError()(t, y)), rel=1e-5
+    )
+    assert float(get_loss_obj("bce")(jnp.asarray(t), jnp.asarray(y))) == pytest.approx(
+        float(tf.keras.losses.BinaryCrossentropy(from_logits=True)(t, y)), rel=1e-4
+    )
+
+
+def test_adam_matches_keras():
+    """Our optax adam(b1=0.5, eps=1e-7) must track Keras Adam step-for-step
+    (the reference's optimizer: cyclegan/optimizers.py:14-15,
+    configs/training_config.yaml:4-11)."""
+    import optax
+
+    from cyclegan_tpu.optimizers import get_optimizer
+
+    w0 = rand(5, 3)
+    grads = [rand(5, 3) for _ in range(5)]
+
+    var = tf.Variable(w0)
+    keras_opt = tf.keras.optimizers.Adam(learning_rate=2e-4, beta_1=0.5)
+    for g in grads:
+        keras_opt.apply_gradients([(tf.constant(g), var)])
+    theirs = var.numpy()
+
+    opt = get_optimizer(dict(name="adam", learning_rate=2e-4, beta_1=0.5))
+    params = jnp.asarray(w0)
+    opt_state = opt.init(params)
+    for g in grads:
+        updates, opt_state = opt.update(jnp.asarray(g), opt_state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params), theirs, atol=1e-6)
+
+
+def test_instance_norm_matches_tf_nn_formulation():
+    """tfa InstanceNormalization == per-(N,C) moments + (x-m)/sqrt(v+1e-3),
+    computed here with tf.nn.moments as the independent reference."""
+    from cyclegan_tpu.ops import instance_norm
+
+    x = rand(2, 16, 16, 4) * 3.0 + 1.0
+    mean, var = tf.nn.moments(tf.constant(x), axes=[1, 2], keepdims=True)
+    theirs = ((x - mean.numpy()) / np.sqrt(var.numpy() + 1e-3)).astype(np.float32)
+    ours = np.asarray(instance_norm(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
