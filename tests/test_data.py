@@ -1,0 +1,175 @@
+"""Data-layer tests: Example codec, TFRecord framing (cross-validated
+against TF's own reader/writer), sharded writer, pipeline semantics, and
+device-side augmentation."""
+
+import numpy as np
+import pytest
+
+from cyclegan_tpu.data import (
+    create_dataset,
+    example2image,
+    image2example,
+    read_tfrecord_file,
+    tfrecord_writer,
+    write_tfrecord_file,
+)
+from cyclegan_tpu.data.example_proto import decode_example, encode_example
+
+RNG = np.random.default_rng(7)
+
+
+def random_image(h=32, w=32):
+    return RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_example_proto_roundtrip():
+    features = {
+        "image_raw": b"\x89PNG fake bytes \x00\x01",
+        "height": 32,
+        "width": 48,
+        "depth": 3,
+        "floats": [1.5, -2.25],
+    }
+    decoded = decode_example(encode_example(features))
+    assert decoded["image_raw"] == [features["image_raw"]]
+    assert decoded["height"] == [32]
+    assert decoded["width"] == [48]
+    assert decoded["depth"] == [3]
+    np.testing.assert_allclose(decoded["floats"], [1.5, -2.25])
+
+
+def test_image_example_roundtrip():
+    bgr = random_image()
+    rgb = example2image(image2example(bgr))
+    # stored as BGR via cv2-convention PNG; decoded back as RGB
+    np.testing.assert_array_equal(rgb, bgr[..., ::-1])
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    records = [b"alpha", b"beta" * 100, b""]
+    path = tmp_path / "test.tfrecords"
+    assert write_tfrecord_file(path, records) == 3
+    assert list(read_tfrecord_file(path, verify_crc=True)) == records
+
+
+def test_tfrecord_matches_tf_reader(tmp_path):
+    """Cross-validate framing + Example proto against TF itself: records we
+    write must parse through tf.data exactly as the reference pipeline
+    would (transform/data_load.py:7-17)."""
+    tf = pytest.importorskip("tensorflow")
+    bgr = random_image(20, 24)
+    path = tmp_path / "cross.tfrecords"
+    write_tfrecord_file(path, [image2example(bgr)])
+
+    ds = tf.data.TFRecordDataset(str(path))
+    feature = {
+        "image_raw": tf.io.FixedLenFeature([], dtype=tf.string),
+        "height": tf.io.FixedLenFeature([], dtype=tf.int64),
+        "width": tf.io.FixedLenFeature([], dtype=tf.int64),
+        "depth": tf.io.FixedLenFeature([], dtype=tf.int64),
+    }
+    for raw in ds:
+        parsed = tf.io.parse_single_example(raw, feature)
+        assert int(parsed["height"]) == 20
+        assert int(parsed["width"]) == 24
+        assert int(parsed["depth"]) == 3
+        image = tf.image.decode_image(parsed["image_raw"], channels=3).numpy()
+        np.testing.assert_array_equal(image, bgr[..., ::-1])
+
+
+def test_tf_written_records_parse_here(tmp_path):
+    """Reverse direction: TF-written records load through our reader."""
+    tf = pytest.importorskip("tensorflow")
+    payloads = [b"one", b"two" * 50]
+    path = tmp_path / "tfwritten.tfrecords"
+    with tf.io.TFRecordWriter(str(path)) as writer:
+        for p in payloads:
+            writer.write(p)
+    assert list(read_tfrecord_file(path, verify_crc=True)) == payloads
+
+
+def test_tfrecord_writer_shards_all_images(tmp_path):
+    """The reference writer loses every image beyond the first shard
+    (transform/tfrecords.py:40-43); ours must write all of them."""
+    import cv2
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for i in range(7):
+        cv2.imwrite(str(src / f"{i}.png"), random_image())
+    shards = tfrecord_writer(src, tmp_path / "records", shard_size=3, seed=0)
+    assert len(shards) == 3
+    total = sum(len(list(read_tfrecord_file(p))) for p in shards)
+    assert total == 7
+
+
+def _write_domain(tmp_path, name, count, size=40):
+    import cv2
+
+    src = tmp_path / name
+    src.mkdir()
+    for i in range(count):
+        cv2.imwrite(str(src / f"{i}.png"), random_image(size, size))
+    return [str(p) for p in tfrecord_writer(src, tmp_path / f"{name}_records",
+                                            shard_size=4, seed=0)]
+
+
+def test_create_dataset_split_and_shapes(tmp_path):
+    records_a = _write_domain(tmp_path, "a", 10)
+    records_b = _write_domain(tmp_path, "b", 8)
+    train_ds, val_ds = create_dataset(records_a, records_b,
+                                      validation_split=0.2, width=32)
+    # num_validation = int(0.2 * 10) = 2 from each domain
+    assert len(val_ds.images_a) == 2 and len(val_ds.images_b) == 2
+    assert len(train_ds.images_a) == 8 and len(train_ds.images_b) == 6
+    assert len(train_ds) == 6  # zip semantics: min of the two domains
+    a, b = next(iter(train_ds.batches(batch_size=2, epoch=0)))
+    assert a.shape == (2, 32, 32, 3) and a.dtype == np.uint8
+    assert b.shape == (2, 32, 32, 3)
+
+
+def test_split_is_deterministic_and_leak_free(tmp_path):
+    records_a = _write_domain(tmp_path, "aa", 10)
+    records_b = _write_domain(tmp_path, "bb", 10)
+    t1, v1 = create_dataset(records_a, records_b, width=32, seed=3)
+    t2, v2 = create_dataset(records_a, records_b, width=32, seed=3)
+    np.testing.assert_array_equal(v1.images_a, v2.images_a)
+    # no train image appears in the validation set
+    val_keys = {im.tobytes() for im in v1.images_a}
+    train_keys = {im.tobytes() for im in t1.images_a}
+    assert not val_keys & train_keys
+
+
+def test_epoch_reshuffling(tmp_path):
+    records_a = _write_domain(tmp_path, "sa", 9)
+    records_b = _write_domain(tmp_path, "sb", 9)
+    train_ds, _ = create_dataset(records_a, records_b, width=32)
+    e0 = [a for a, _ in train_ds.batches(1, epoch=0)]
+    e1 = [a for a, _ in train_ds.batches(1, epoch=1)]
+    assert not all(np.array_equal(x, y) for x, y in zip(e0, e1))
+
+
+def test_augmentation_semantics():
+    import jax
+
+    from cyclegan_tpu.data.augment import (
+        denormalize_to_uint8,
+        normalize,
+        prepare_eval_batch,
+        random_jitter_batch,
+    )
+
+    batch = RNG.integers(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+    normalized = np.asarray(normalize(batch))
+    assert normalized.min() >= -1.0 and normalized.max() <= 1.0
+    round_trip = np.asarray(denormalize_to_uint8(normalized))
+    np.testing.assert_array_equal(round_trip, batch)
+
+    out = np.asarray(random_jitter_batch(jax.random.PRNGKey(0), batch, 32))
+    assert out.shape == (4, 32, 32, 3)
+    assert out.dtype == np.float32
+    out2 = np.asarray(random_jitter_batch(jax.random.PRNGKey(1), batch, 32))
+    assert not np.allclose(out, out2)  # different crops/flips
+
+    ev = np.asarray(prepare_eval_batch(batch))
+    np.testing.assert_allclose(ev, normalized, atol=1e-6)
