@@ -1,0 +1,49 @@
+"""Mesh construction and sharding helpers.
+
+The reference has no distributed code at all (single GPU with a VRAM cap,
+train.py:36-43; SURVEY.md §2 #18-19). Data parallelism here is a
+first-class capability built the TPU way: a 1-D ``jax.sharding.Mesh`` over
+the chips, batches sharded along the ``data`` axis with ``NamedSharding``,
+parameters replicated, and XLA's SPMD partitioner inserting the gradient
+psum over ICI. A single device is just a mesh of size 1, so the CPU smoke
+config and the v5e-8 config share one code path. The axis is named so a
+future multi-slice (DCN) outer axis is a config change, not a rewrite.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    num_devices: Optional[int] = None,
+    axis_name: str = "data",
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 1-D data-parallel mesh over the first ``num_devices`` local
+    devices (all of them by default)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested {num_devices} devices, have {len(devices)}"
+            )
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:
+    """Place host arrays on device, sharded along dim 0 of every leaf."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Place a pytree on device, fully replicated across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -189,18 +189,37 @@ def _forward_losses(
     return surrogate, metrics, new_model_state
 
 
+def _batch_shardings(mesh, axis: str):
+    """(replicated, batch-sharded) NamedShardings for a 1-D data mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(axis))
+    return replicated, batch
+
+
 def make_validate_step(
     models: Mapping[str, Model],
     loss_name: str,
     loss_weights: Mapping[str, float],
+    preprocess: Optional[Callable] = None,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> Callable:
     """Build the jitted eval step (reference: validate_step with
-    training=False, cyclegan/model.py:91-134, called at :219-223)."""
+    training=False, cyclegan/model.py:91-134, called at :219-223).
+
+    ``preprocess`` (e.g. uint8 -> [-1,1] normalize) runs inside the jit.
+    With ``mesh``, inputs are batch-sharded and the state replicated — XLA
+    turns the mean-reductions in the losses into psums over ICI.
+    """
     loss_obj = get_loss_obj(loss_name)
     weights = {k: float(v) for k, v in dict(loss_weights).items()}
 
-    @jax.jit
     def validate_step(state: TrainState, real_a, real_b):
+        if preprocess is not None:
+            real_a = preprocess(real_a)
+            real_b = preprocess(real_b)
         _, metrics, _ = _forward_losses(
             state.params,
             state.model_state,
@@ -215,7 +234,14 @@ def make_validate_step(
         )
         return metrics
 
-    return validate_step
+    if mesh is None:
+        return jax.jit(validate_step)
+    replicated, batch = _batch_shardings(mesh, mesh_axis)
+    return jax.jit(
+        validate_step,
+        in_shardings=(replicated, batch, batch),
+        out_shardings=replicated,
+    )
 
 
 def make_train_step(
@@ -224,6 +250,9 @@ def make_train_step(
     loss_name: str,
     loss_weights: Mapping[str, float],
     donate: bool = True,
+    preprocess: Optional[Callable] = None,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> Callable:
     """Build the jitted train step: one forward set, ONE backward pass,
     four optimizer updates (reference: train_step, cyclegan/model.py:136-154).
@@ -231,6 +260,15 @@ def make_train_step(
     The returned function has signature ``(state, real_a, real_b) ->
     (new_state, metrics)`` and donates ``state`` so parameter buffers are
     updated in place on device.
+
+    ``preprocess(rng, a, b) -> (a, b)`` runs inside the jit before the
+    forward set — the trainer passes the normalize+jitter augmentation here
+    so the whole pipeline fuses into one XLA program.
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the state is replicated
+    and the batch sharded along ``mesh_axis``: XLA's SPMD partitioner
+    derives the gradient all-reduce (psum over ICI) from the sharding
+    annotations — the TPU-native replacement for a NCCL data-parallel loop.
     """
     loss_obj = get_loss_obj(loss_name)
     weights = {k: float(v) for k, v in dict(loss_weights).items()}
@@ -254,6 +292,9 @@ def make_train_step(
 
     def train_step(state: TrainState, real_a, real_b):
         rng, step_rng = jax.random.split(state.rng)
+        if preprocess is not None:
+            pre_rng, step_rng = jax.random.split(step_rng)
+            real_a, real_b = preprocess(pre_rng, real_a, real_b)
         grads, (metrics, new_model_state) = grad_fn(
             state.params, state.model_state, real_a, real_b, step_rng
         )
@@ -276,7 +317,15 @@ def make_train_step(
         )
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate_argnums)
+    replicated, batch = _batch_shardings(mesh, mesh_axis)
+    return jax.jit(
+        train_step,
+        donate_argnums=donate_argnums,
+        in_shardings=(replicated, batch, batch),
+        out_shardings=(replicated, replicated),
+    )
 
 
 def reference_gradients(

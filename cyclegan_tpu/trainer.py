@@ -1,0 +1,298 @@
+"""The CycleGan training runtime.
+
+Re-design of the reference's ``CycleGan`` Keras class
+(cyclegan/model.py:57-362) around one jitted train step and a TrainState
+pytree: epoch loop with per-batch tqdm metrics, TensorBoard scalar/image
+summaries with identical tags, periodic + final checkpointing, full resume
+(params, optimizer slots, sample images, epoch counter), and optional
+data-parallel execution over a device mesh.
+"""
+
+from __future__ import annotations
+
+import logging
+from os.path import join
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import tqdm
+
+from cyclegan_tpu.config import Namespace, namespace2yaml
+from cyclegan_tpu.data.augment import (
+    denormalize_to_unit,
+    normalize,
+    prepare_eval_batch,
+    random_jitter_batch,
+)
+from cyclegan_tpu.data.pipeline import ArrayDataset
+from cyclegan_tpu.models import create_model
+from cyclegan_tpu.optimizers import get_optimizer
+from cyclegan_tpu.parallel import replicate, shard_batch
+from cyclegan_tpu.steps import (
+    NETWORKS,
+    init_train_state,
+    make_train_step,
+    make_validate_step,
+)
+from cyclegan_tpu.utils.checkpoint import load_pytree, save_pytree
+from cyclegan_tpu.utils.metrics import make_metric_dict
+from cyclegan_tpu.utils.summary import SummaryWriter
+
+logger = logging.getLogger(__name__)
+
+METRIC_NAMES = [
+    "dA_loss",
+    "dB_loss",
+    "gAB_loss",
+    "gBA_loss",
+    "dA_acc",
+    "dB_acc",
+]  # cyclegan/model.py:166-173
+
+CHECKPOINT_FILE = "checkpoint.npz"
+
+
+class CycleGan:
+    """Owns the four networks, four optimizers, the jitted steps and the
+    training loop (reference: cyclegan/model.py:57-231)."""
+
+    def __init__(self, model_config: Namespace, train_config: Namespace,
+                 mesh=None):
+        self.model_config = model_config
+        self.train_config = train_config
+        self.mesh = mesh
+        self.model_folder = join(model_config.location, model_config.name)
+        self.train_summaries = SummaryWriter(join(self.model_folder, "train"))
+        self.val_summaries = SummaryWriter(join(self.model_folder, "validation"))
+
+        self.models = {
+            "g_AB": create_model(model_config.generator),
+            "g_BA": create_model(model_config.generator),
+            "d_A": create_model(model_config.discriminator),
+            "d_B": create_model(model_config.discriminator),
+        }
+        self.optimizers = {
+            "g_AB": get_optimizer(train_config.g_opt),
+            "g_BA": get_optimizer(train_config.g_opt),
+            "d_A": get_optimizer(train_config.d_opt),
+            "d_B": get_optimizer(train_config.d_opt),
+        }
+        self.loss_weights = dict(model_config.loss_weights)
+
+        seed = int(model_config.get("seed", 0))
+        self.state = init_train_state(
+            jax.random.PRNGKey(seed), self.models, self.optimizers
+        )
+        if mesh is not None:
+            self.state = replicate(mesh, self.state)
+
+        image_size = int(train_config.image_size)
+
+        def train_preprocess(rng, a, b):
+            rng_a, rng_b = jax.random.split(rng)
+            return (
+                random_jitter_batch(rng_a, a, image_size),
+                random_jitter_batch(rng_b, b, image_size),
+            )
+
+        self.train_step_fn = make_train_step(
+            self.models,
+            self.optimizers,
+            model_config.loss,
+            self.loss_weights,
+            preprocess=train_preprocess,
+            mesh=mesh,
+        )
+        self.validate_step_fn = make_validate_step(
+            self.models,
+            model_config.loss,
+            self.loss_weights,
+            preprocess=prepare_eval_batch,
+            mesh=mesh,
+        )
+        self._predict_fns: Dict[str, object] = {}
+
+        self.a_samples: Optional[np.ndarray] = None
+        self.b_samples: Optional[np.ndarray] = None
+
+        # new: true trains from scratch; otherwise resume
+        # (cyclegan/model.py:75-78).
+        if self.model_config.new:
+            self.model_config.new = False
+        else:
+            self.load_model()
+
+    # ------------------------------------------------------------------
+    # training loop (reference: cyclegan/model.py:156-231)
+    # ------------------------------------------------------------------
+
+    def train(self, train_dataset: ArrayDataset, validation_dataset: ArrayDataset):
+        batch_size = int(self.train_config.batch_size)
+        epochs = int(self.train_config.epochs)
+        save_images_every = int(self.train_config.summary["images"])
+        tensorboard_samples = int(self.train_config.summary["samples"])
+        save_model_every = int(self.train_config.summary["model"])
+
+        train_metrics = make_metric_dict(METRIC_NAMES)
+        val_metrics = make_metric_dict(METRIC_NAMES)
+
+        # Fixed sample images captured once and persisted across resumes
+        # (cyclegan/model.py:186-195).
+        if self.a_samples is None or self.b_samples is None:
+            a_raw, b_raw = validation_dataset.take_pairs(tensorboard_samples)
+            self.a_samples = np.asarray(normalize(jnp.asarray(a_raw)))
+            self.b_samples = np.asarray(normalize(jnp.asarray(b_raw)))
+            self.val_summaries.images(
+                "A", (self.a_samples + 1) / 2, step=0,
+                max_outputs=tensorboard_samples,
+            )
+            self.val_summaries.images(
+                "B", (self.b_samples + 1) / 2, step=0,
+                max_outputs=tensorboard_samples,
+            )
+
+        # Static cardinality — no full decode pass just to size tqdm
+        # (fixes the reference's sum(1 for _) scans, cyclegan/model.py:199-200).
+        training_size = train_dataset.num_batches(batch_size)
+        validation_size = validation_dataset.num_batches(batch_size)
+
+        current_epoch = int(self.model_config.get("current_epoch", 0))
+
+        for e in range(current_epoch, current_epoch + epochs):
+            train_bar = tqdm.tqdm(
+                train_dataset.batches(batch_size, epoch=e),
+                desc=f"Epoch {e + 1} training",
+                ncols=0,
+                total=training_size,
+            )
+            for images_a, images_b in train_bar:
+                images_a, images_b = self._put(images_a, images_b)
+                self.state, losses = self.train_step_fn(
+                    self.state, images_a, images_b
+                )
+                self._update_metrics(train_metrics, losses)
+                self._display_metrics(train_metrics, train_bar)
+
+            self._write_summaries(self.train_summaries, e, train_metrics)
+            if e % save_images_every == 0:
+                self.write_images(e, self.a_samples, self.b_samples,
+                                  tensorboard_samples)
+
+            val_bar = tqdm.tqdm(
+                validation_dataset.batches(batch_size, epoch=e),
+                desc=f"Epoch {e + 1} validation",
+                ncols=0,
+                total=validation_size,
+            )
+            for images_a, images_b in val_bar:
+                images_a, images_b = self._put(images_a, images_b)
+                losses = self.validate_step_fn(self.state, images_a, images_b)
+                self._update_metrics(val_metrics, losses)
+                self._display_metrics(val_metrics, val_bar)
+            self._write_summaries(self.val_summaries, e, val_metrics)
+
+            if e % save_model_every == 0:
+                self.save_model()
+
+        self.model_config.current_epoch = current_epoch + epochs
+        Path(self.model_folder).mkdir(parents=True, exist_ok=True)
+        namespace2yaml(join(self.model_folder, "model_config.yaml"),
+                       self.model_config)
+        self.save_model()
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+
+    def predict(self, images: np.ndarray, direction: str = "a2b") -> np.ndarray:
+        """Batched jitted generator forward. ``images`` are [-1,1] floats or
+        uint8; output is [-1,1] float32. Compiled once per (direction,
+        shape) bucket — the jit answer to the reference's shape-polymorphic
+        Keras predict (cyclegan/model.py:270-271)."""
+        name = {"a2b": "g_AB", "b2a": "g_BA"}[direction]
+        images = np.asarray(images)
+        key = (name, images.shape, str(images.dtype))
+        if key not in self._predict_fns:
+            model = self.models[name]
+
+            @jax.jit
+            def fwd(params, model_state, x):
+                x = prepare_eval_batch(x)
+                y, _ = model.apply(params, model_state, x, train=False)
+                return y
+
+            self._predict_fns[key] = fwd
+        return np.asarray(
+            self._predict_fns[key](
+                self.state.params[name], self.state.model_state[name],
+                jnp.asarray(images),
+            )
+        )
+
+    # ------------------------------------------------------------------
+    # observability (reference: cyclegan/model.py:234-302)
+    # ------------------------------------------------------------------
+
+    def _write_summaries(self, summaries: SummaryWriter, epoch: int,
+                         metrics_dict) -> None:
+        for name, metric in metrics_dict.items():
+            summaries.scalar(name, metric.result(), step=epoch)
+            metric.reset_states()
+        summaries.flush()
+
+    def write_images(self, epoch: int, a_samples, b_samples,
+                     num_samples: int) -> None:
+        prediction_ab = self.predict(a_samples, "a2b")
+        prediction_ba = self.predict(b_samples, "b2a")
+        self.val_summaries.images(
+            "A2B_predictions", np.asarray(denormalize_to_unit(prediction_ab)),
+            step=epoch, max_outputs=num_samples,
+        )
+        self.val_summaries.images(
+            "B2A_predictions", np.asarray(denormalize_to_unit(prediction_ba)),
+            step=epoch, max_outputs=num_samples,
+        )
+
+    @staticmethod
+    def _update_metrics(metrics_dict, metrics) -> None:
+        values = jax.device_get(metrics)
+        for name in metrics_dict:
+            metrics_dict[name].update_state(values[name])
+
+    @staticmethod
+    def _display_metrics(metrics_dict, progress_bar) -> None:
+        evaluated = {k: str(v.result())[:7] for k, v in metrics_dict.items()}
+        progress_bar.set_postfix(**evaluated)
+
+    def _put(self, images_a, images_b):
+        if self.mesh is None:
+            return jnp.asarray(images_a), jnp.asarray(images_b)
+        return shard_batch(self.mesh, (images_a, images_b))
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference: cyclegan/model.py:304-362)
+    # ------------------------------------------------------------------
+
+    def save_model(self) -> None:
+        """Persist the full TrainState + fixed sample images."""
+        folder = Path(self.model_folder)
+        folder.mkdir(parents=True, exist_ok=True)
+        save_pytree(folder / CHECKPOINT_FILE, jax.device_get(self.state))
+        if self.a_samples is not None:
+            np.save(folder / "a_samples.npy", self.a_samples)
+            np.save(folder / "b_samples.npy", self.b_samples)
+
+    def load_model(self) -> None:
+        """Restore params, optimizer slots, rng, step and samples."""
+        folder = Path(self.model_folder)
+        template = jax.device_get(self.state)
+        self.state = load_pytree(folder / CHECKPOINT_FILE, template)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+        a_path = folder / "a_samples.npy"
+        if a_path.exists():
+            self.a_samples = np.load(a_path)
+            self.b_samples = np.load(folder / "b_samples.npy")

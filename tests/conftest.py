@@ -13,3 +13,9 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The TPU harness plugin re-pins jax_platforms to "axon,cpu" regardless of
+# the env var; override it at the config level before any backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,183 @@
+"""End-to-end trainer tests: the full vertical (config -> models -> losses
+-> grads -> 4 optimizer updates -> metrics -> checkpoint/resume) on tiny
+shapes, plus data-parallel equivalence on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cyclegan_tpu.config import Namespace, yaml2namespace
+from cyclegan_tpu.data.pipeline import ArrayDataset
+from cyclegan_tpu.parallel import create_mesh
+from cyclegan_tpu.trainer import CHECKPOINT_FILE, CycleGan
+
+RNG = np.random.default_rng(3)
+
+
+def tiny_model_config(location, new=True):
+    return Namespace(
+        dict(
+            name="tiny",
+            new=new,
+            location=str(location),
+            seed=0,
+            generator=dict(
+                type="unet_generator",
+                filters=[4, 4],
+                kernels=[3, 3],
+                output_channels=3,
+                expansion="upsample",
+                normalization="instancenorm",
+                dropout=False,
+                final_activation="tanh",
+            ),
+            discriminator=dict(
+                type="unet_generator",
+                filters=[4, 4],
+                kernels=[3, 3],
+                output_channels=1,
+                expansion="upsample",
+                normalization="instancenorm",
+                dropout=False,
+                final_activation="sigmoid",
+            ),
+            loss="mse",
+            loss_weights=dict(cycle=2.0, identity=0.5, generator=1.0,
+                              discriminator=0.5),
+        )
+    )
+
+
+def tiny_train_config(epochs=1, batch_size=2, image_size=16):
+    return Namespace(
+        dict(
+            epochs=epochs,
+            batch_size=batch_size,
+            image_size=image_size,
+            g_opt=dict(name="adam", learning_rate=2e-4, beta_1=0.5),
+            d_opt=dict(name="adam", learning_rate=2e-4, beta_1=0.5),
+            summary=dict(samples=2, images=1, model=1),
+        )
+    )
+
+
+def tiny_dataset(n=6, size=16):
+    a = RNG.integers(0, 256, size=(n, size, size, 3), dtype=np.uint8)
+    b = RNG.integers(0, 256, size=(n, size, size, 3), dtype=np.uint8)
+    return ArrayDataset(a, b, shuffle=True, seed=0), ArrayDataset(
+        a[:4], b[:4], shuffle=False
+    )
+
+
+def test_train_checkpoint_resume(tmp_path):
+    model_config = tiny_model_config(tmp_path)
+    train_config = tiny_train_config(epochs=1)
+    gan = CycleGan(model_config, train_config)
+    train_ds, val_ds = tiny_dataset()
+    gan.train(train_ds, val_ds)
+
+    folder = tmp_path / "tiny"
+    assert (folder / CHECKPOINT_FILE).exists()
+    assert (folder / "a_samples.npy").exists()
+    assert (folder / "model_config.yaml").exists()
+
+    written = yaml2namespace(folder / "model_config.yaml")
+    assert written.current_epoch == 1
+    assert written.new is False
+
+    # Resume: a fresh CycleGan with new:false must load identical params
+    # and continue the epoch numbering (cyclegan/model.py:204-206,325-342).
+    resumed_config = yaml2namespace(folder / "model_config.yaml")
+    gan2 = CycleGan(resumed_config, train_config)
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(gan.state.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(gan2.state.params))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+    assert int(gan2.state.step) == int(gan.state.step)
+    np.testing.assert_allclose(gan2.a_samples, gan.a_samples)
+
+    gan2.train(train_ds, val_ds)
+    written2 = yaml2namespace(folder / "model_config.yaml")
+    assert written2.current_epoch == 2
+
+
+def test_predict_shapes_and_range(tmp_path):
+    gan = CycleGan(tiny_model_config(tmp_path), tiny_train_config())
+    images = RNG.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    out = gan.predict(images, "a2b")
+    assert out.shape == (2, 16, 16, 3)
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    out_ba = gan.predict(images, "b2a")
+    assert out_ba.shape == (2, 16, 16, 3)
+
+
+def test_tensorboard_events_written(tmp_path):
+    pytest.importorskip("tensorboardX")
+    model_config = tiny_model_config(tmp_path)
+    gan = CycleGan(model_config, tiny_train_config(epochs=1))
+    train_ds, val_ds = tiny_dataset()
+    gan.train(train_ds, val_ds)
+    train_events = list((tmp_path / "tiny" / "train").glob("events*"))
+    val_events = list((tmp_path / "tiny" / "validation").glob("events*"))
+    assert train_events and val_events
+
+
+def test_data_parallel_matches_single_device(tmp_path):
+    """SPMD over the 8-device mesh must be semantics-preserving: same
+    global batch -> same losses and same updated params as a single
+    device (SURVEY.md §7 stage 7)."""
+    from cyclegan_tpu.optimizers import get_optimizer
+    from cyclegan_tpu.steps import (
+        NETWORKS,
+        init_train_state,
+        make_train_step,
+    )
+    from cyclegan_tpu.models import create_model
+
+    model_config = tiny_model_config(tmp_path)
+    models = {
+        "g_AB": create_model(model_config.generator),
+        "g_BA": create_model(model_config.generator),
+        "d_A": create_model(model_config.discriminator),
+        "d_B": create_model(model_config.discriminator),
+    }
+    optimizers = {
+        name: get_optimizer(dict(name="adam", learning_rate=2e-4, beta_1=0.5))
+        for name in NETWORKS
+    }
+    state = init_train_state(jax.random.PRNGKey(0), models, optimizers)
+
+    real_a = jnp.asarray(RNG.uniform(-1, 1, size=(8, 16, 16, 3)).astype(np.float32))
+    real_b = jnp.asarray(RNG.uniform(-1, 1, size=(8, 16, 16, 3)).astype(np.float32))
+
+    weights = dict(cycle=2.0, identity=0.5, generator=1.0, discriminator=0.5)
+    single = make_train_step(models, optimizers, "mse", weights, donate=False)
+    mesh = create_mesh(8)
+    multi = make_train_step(
+        models, optimizers, "mse", weights, donate=False, mesh=mesh
+    )
+
+    from cyclegan_tpu.parallel import replicate, shard_batch
+
+    s1, m1 = single(state, real_a, real_b)
+    state_r = replicate(mesh, state)
+    a_s, b_s = shard_batch(mesh, (real_a, real_b))
+    s8, m8 = multi(state_r, a_s, b_s)
+
+    for key in m1:
+        assert float(m1[key]) == pytest.approx(float(m8[key]), abs=1e-5), key
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
+    p8, _ = jax.flatten_util.ravel_pytree(jax.device_get(s8.params))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+
+def test_trainer_with_mesh_runs(tmp_path):
+    mesh = create_mesh(2)
+    gan = CycleGan(
+        tiny_model_config(tmp_path), tiny_train_config(epochs=1, batch_size=2),
+        mesh=mesh,
+    )
+    train_ds, val_ds = tiny_dataset()
+    gan.train(train_ds, val_ds)
+    assert (tmp_path / "tiny" / CHECKPOINT_FILE).exists()

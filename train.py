@@ -1,0 +1,88 @@
+"""Training CLI (reference: train.py:15-53).
+
+Same flags plus TPU-native additions:
+
+    python train.py --model_config configs/cycle.yaml \
+                    --train_config configs/training_config.yaml \
+                    --data_dir data --num_devices -1
+
+``--vram`` is accepted for CLI parity but is a no-op: XLA manages TPU HBM
+(the reference uses it to cap GPU memory, train.py:36-43).
+``--num_devices``: -1 = all local devices (data-parallel mesh), 1 = single
+device; either way the same mesh code path runs.
+"""
+
+import logging
+from argparse import ArgumentParser
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+logging.basicConfig(level=logging.INFO)
+
+
+def parse_arguments():
+    parser = ArgumentParser("Train cycle GAN")
+    parser.add_argument(
+        "--model_config",
+        default=Path("configs", "cycle.yaml"),
+        help="Path to model config.",
+    )
+    parser.add_argument(
+        "--train_config",
+        default=Path("configs", "training_config.yaml"),
+        help="Path to training config",
+    )
+    parser.add_argument(
+        "--vram",
+        type=int,
+        default=20000,
+        help="Accepted for reference-CLI parity; unused on TPU "
+        "(XLA manages HBM).",
+    )
+    parser.add_argument(
+        "--data_dir",
+        default=Path("data"),
+        type=Path,
+        help="Directory containing tabby_records/ and tortie_records/",
+    )
+    parser.add_argument(
+        "--num_devices",
+        type=int,
+        default=-1,
+        help="Devices in the data-parallel mesh (-1 = all local devices).",
+    )
+    return parser.parse_args()
+
+
+def main():
+    args = parse_arguments()
+
+    import jax
+
+    from cyclegan_tpu.config import yaml2namespace
+    from cyclegan_tpu.data import create_dataset
+    from cyclegan_tpu.parallel import create_mesh
+    from cyclegan_tpu.trainer import CycleGan
+
+    model_config = yaml2namespace(args.model_config)
+    training_config = yaml2namespace(args.train_config)
+
+    num_devices = args.num_devices if args.num_devices > 0 else len(jax.devices())
+    mesh = create_mesh(num_devices)
+    logger.info("devices: %s (mesh size %d)", jax.devices(), num_devices)
+
+    gan = CycleGan(model_config, training_config, mesh=mesh)
+
+    records_a = sorted(map(str, (args.data_dir / "tabby_records").iterdir()))
+    records_b = sorted(map(str, (args.data_dir / "tortie_records").iterdir()))
+    train_ds, val_ds = create_dataset(
+        records_a=records_a,
+        records_b=records_b,
+        width=training_config.image_size,
+        seed=int(model_config.get("seed", 0)),
+    )
+    gan.train(train_dataset=train_ds, validation_dataset=val_ds)
+
+
+if __name__ == "__main__":
+    main()
