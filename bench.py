@@ -1,0 +1,134 @@
+"""Benchmark: full CycleGAN train-step throughput (images/sec/chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The measured unit is the complete training step on the default
+configs/cycle.yaml recipe at 256x256: device-side augmentation, the
+6-generator + 4-discriminator forward set, one backward pass and four Adam
+updates — the same work the reference's @tf.function train_step does per
+batch (cyclegan/model.py:136-154).
+
+``vs_baseline`` divides by the reference-GPU estimate documented in
+BASELINE.md (the reference publishes no numbers; the denominator is an
+analytic FLOPs/MFU estimate anchored by a measured TF-CPU run — see
+BASELINE.md for the derivation).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# Reference TF/Keras estimated throughput on its original single GPU for the
+# default 256x256 batch-8 recipe. Derivation in BASELINE.md §"Estimated
+# reference GPU baseline".
+REFERENCE_GPU_IMAGES_PER_SEC = 95.0
+
+
+def build_step(batch_size: int, image_size: int, compute_dtype: str):
+    import jax
+
+    from cyclegan_tpu.config import yaml2namespace
+    from cyclegan_tpu.data.augment import random_jitter_batch
+    from cyclegan_tpu.models import create_model
+    from cyclegan_tpu.optimizers import get_optimizer
+    from cyclegan_tpu.parallel import create_mesh, replicate, shard_batch
+    from cyclegan_tpu.steps import init_train_state, make_train_step
+
+    model_config = yaml2namespace("configs/cycle.yaml")
+    train_config = yaml2namespace("configs/training_config.yaml")
+    models = {
+        "g_AB": create_model(model_config.generator),
+        "g_BA": create_model(model_config.generator),
+        "d_A": create_model(model_config.discriminator),
+        "d_B": create_model(model_config.discriminator),
+    }
+    optimizers = {
+        "g_AB": get_optimizer(train_config.g_opt),
+        "g_BA": get_optimizer(train_config.g_opt),
+        "d_A": get_optimizer(train_config.d_opt),
+        "d_B": get_optimizer(train_config.d_opt),
+    }
+
+    def preprocess(rng, a, b):
+        ra, rb = jax.random.split(rng)
+        return (
+            random_jitter_batch(ra, a, image_size),
+            random_jitter_batch(rb, b, image_size),
+        )
+
+    mesh = create_mesh()
+    n_devices = mesh.devices.size
+    train_step = make_train_step(
+        models,
+        optimizers,
+        model_config.loss,
+        dict(model_config.loss_weights),
+        preprocess=preprocess,
+        mesh=mesh,
+        compute_dtype=compute_dtype,
+    )
+    state = replicate(
+        mesh, init_train_state(jax.random.PRNGKey(0), models, optimizers)
+    )
+    rng = np.random.default_rng(0)
+    shape = (batch_size * n_devices, image_size, image_size, 3)
+    real_a, real_b = shard_batch(
+        mesh,
+        (
+            rng.integers(0, 256, size=shape, dtype=np.uint8),
+            rng.integers(0, 256, size=shape, dtype=np.uint8),
+        ),
+    )
+    return train_step, state, real_a, real_b, n_devices
+
+
+def main():
+    parser = argparse.ArgumentParser("cyclegan_tpu benchmark")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="per-chip batch size (training default)")
+    parser.add_argument("--image-size", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"],
+                        help="compute dtype for the conv path (params stay "
+                        "f32; bf16 is the TPU fast path)")
+    args = parser.parse_args()
+
+    import jax
+
+    train_step, state, real_a, real_b, n_devices = build_step(
+        args.batch, args.image_size, args.dtype
+    )
+
+    for _ in range(args.warmup):
+        state, metrics = train_step(state, real_a, real_b)
+    jax.block_until_ready(state.params)
+
+    start = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = train_step(state, real_a, real_b)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - start
+
+    total_images = args.batch * n_devices * args.steps
+    images_per_sec = total_images / elapsed
+    per_chip = images_per_sec / n_devices
+
+    print(
+        json.dumps(
+            {
+                "metric": f"train_images_per_sec_per_chip_{args.image_size}px_b{args.batch}_{args.dtype}",
+                "value": round(per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(per_chip / REFERENCE_GPU_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Batched jitted inference over trained checkpoints.
+
+The TPU-native counterpart of the reference's SavedModel-based prediction
+path (predict.py:11-39): loads the model config + checkpoint from a model
+folder, rebuilds the generator pair, and serves jitted stylization at any
+resolution via per-shape compilation buckets (BASELINE.json config #5 runs
+this at 512x512).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Tuple, Union
+
+import numpy as np
+
+from cyclegan_tpu.config import yaml2namespace
+from cyclegan_tpu.data.augment import denormalize_to_uint8, normalize
+from cyclegan_tpu.models import create_model
+from cyclegan_tpu.utils.checkpoint import load_pytree
+
+
+class InferenceSession:
+    """Loads g_AB/g_BA from a trained model folder and stylizes images."""
+
+    def __init__(self, model_dir: Union[str, Path]):
+        import jax
+
+        model_dir = Path(model_dir)
+        config_path = model_dir / "model_config.yaml"
+        if not config_path.exists():  # pre-final-epoch checkpoints
+            config_path = model_dir / "config.yaml"
+        self.model_config = yaml2namespace(config_path)
+
+        from cyclegan_tpu.optimizers import get_optimizer
+        from cyclegan_tpu.steps import init_train_state
+
+        self.models = {
+            "g_AB": create_model(self.model_config.generator),
+            "g_BA": create_model(self.model_config.generator),
+            "d_A": create_model(self.model_config.discriminator),
+            "d_B": create_model(self.model_config.discriminator),
+        }
+        # optimizer states are part of the checkpoint pytree; a dummy adam
+        # provides the matching template structure
+        optimizers = {
+            name: get_optimizer(dict(name="adam", learning_rate=1e-4, beta_1=0.5))
+            for name in self.models
+        }
+        template = init_train_state(
+            jax.random.PRNGKey(0), self.models, optimizers
+        )
+        self.state = load_pytree(model_dir / "checkpoint.npz",
+                                 jax.device_get(template))
+        self._fns: Dict[Tuple, object] = {}
+
+    def stylize(self, images: np.ndarray, direction: str = "a2b") -> np.ndarray:
+        """uint8/float RGB batch (N,H,W,3) -> stylized uint8 RGB batch.
+
+        Equivalent to preprocess -> generator -> postprocess in the
+        reference (predict.py:20-39)."""
+        import jax
+        import jax.numpy as jnp
+
+        name = {"a2b": "g_AB", "b2a": "g_BA"}[direction]
+        images = np.asarray(images)
+        key = (name, images.shape, str(images.dtype))
+        if key not in self._fns:
+            model = self.models[name]
+
+            @jax.jit
+            def fwd(params, model_state, x):
+                x = normalize(x) if x.dtype == jnp.uint8 else x
+                y, _ = model.apply(params, model_state, x, train=False)
+                return denormalize_to_uint8(y)
+
+            self._fns[key] = fwd
+        return np.asarray(
+            self._fns[key](
+                self.state.params[name],
+                self.state.model_state[name],
+                jnp.asarray(images),
+            )
+        )
+
+    def prediction_triple(
+        self, image_bgr: np.ndarray, size: Tuple[int, int] = (256, 256)
+    ):
+        """(original RGB, A->B stylized, B->A stylized) at ``size`` — the
+        reference Streamlit app's display triple (predict.py:29-39)."""
+        import cv2
+
+        rgb = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)
+        resized = cv2.resize(rgb, size)
+        batch = resized[np.newaxis]
+        ab = self.stylize(batch, "a2b")[0]
+        ba = self.stylize(batch, "b2a")[0]
+        return resized, ab, ba

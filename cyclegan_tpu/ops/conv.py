@@ -2,8 +2,11 @@
 
 These map directly onto the TPU MXU via XLA's convolution lowering; the
 framework keeps them large and batched (no per-sample Python loops) so XLA
-can tile them onto the 128x128 systolic array, and threads a
-``preferred_element_type`` so bf16 inputs accumulate in f32.
+can tile them onto the 128x128 systolic array. Output dtype follows the
+input dtype: the TPU MXU natively accumulates bf16 products in f32 before
+the store, so the bf16 path keeps f32 accumulation without an explicit
+``preferred_element_type`` (which would break the conv transpose rule under
+mixed cotangent dtypes).
 """
 
 from typing import Optional, Tuple
@@ -32,7 +35,6 @@ def conv2d(
     bias: Optional[jnp.ndarray] = None,
     stride: int = 1,
     padding: str = "SAME",
-    accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """2-D convolution, NHWC x HWIO -> NHWC.
 
@@ -47,7 +49,6 @@ def conv2d(
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DN_CONV,
-        preferred_element_type=accum_dtype,
         precision=_precision_for(x),
     )
     if bias is not None:
@@ -67,7 +68,6 @@ def conv2d_transpose(
     kernel: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     stride: int = 2,
-    accum_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """TF-compatible ``Conv2DTranspose(..., padding='same')``.
 
@@ -95,7 +95,6 @@ def conv2d_transpose(
         padding=(pad_h, pad_w),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DN_CONV_T,
-        preferred_element_type=accum_dtype,
         precision=_precision_for(x),
     )
     if bias is not None:

@@ -91,6 +91,17 @@ def init_train_state(
     )
 
 
+def _cast_floats(tree: Any, dtype) -> Any:
+    """Cast floating leaves of a pytree to ``dtype`` (mixed-precision
+    compute cast; integer leaves untouched)."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def _forward_losses(
     params: Dict[str, Any],
     model_state: Dict[str, Any],
@@ -102,6 +113,7 @@ def _forward_losses(
     train: bool,
     rng: Optional[jax.Array],
     stop_grads: bool,
+    compute_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Shared forward set + losses (reference: validate_step,
     cyclegan/model.py:91-134).
@@ -109,8 +121,19 @@ def _forward_losses(
     Returns (surrogate_total, metrics, new_model_state). With
     ``stop_grads=True`` the surrogate's gradient w.r.t. each parameter
     group equals the reference's per-group tape.gradient.
+
+    ``compute_dtype=bfloat16`` runs the network forward/backward in bf16
+    (single-pass MXU with f32 accumulation inside the convs) while master
+    params stay f32 — the cast is differentiable, so gradients come back
+    f32. Losses are always computed in f32.
     """
     sg = jax.lax.stop_gradient if stop_grads else (lambda x: x)
+    if compute_dtype != jnp.float32:
+        params = _cast_floats(params, compute_dtype)
+        real_a_net = real_a.astype(compute_dtype)
+        real_b_net = real_b.astype(compute_dtype)
+    else:
+        real_a_net, real_b_net = real_a, real_b
     rngs = (
         jax.random.split(rng, 6)
         if rng is not None
@@ -131,12 +154,12 @@ def _forward_losses(
     def d_b(p, x):
         return models["d_B"].apply(p, model_state["d_B"], x, train=train)
 
-    fake_b, st_gab1 = g_ab(real_a, rngs[0])
+    fake_b, st_gab1 = g_ab(real_a_net, rngs[0])
     cycled_a, st_gba1 = g_ba(fake_b, rngs[1])
-    fake_a, st_gba2 = g_ba(real_b, rngs[2])
+    fake_a, st_gba2 = g_ba(real_b_net, rngs[2])
     cycled_b, st_gab2 = g_ab(fake_a, rngs[3])
-    same_a, _ = g_ba(real_a, rngs[4])
-    same_b, _ = g_ab(real_b, rngs[5])
+    same_a, _ = g_ba(real_a_net, rngs[4])
+    same_b, _ = g_ab(real_b_net, rngs[5])
 
     # Generator-view discriminator outputs: disc params stopped, so the
     # adversarial terms backprop only into the generators.
@@ -145,10 +168,18 @@ def _forward_losses(
     # Discriminator-view outputs: fakes stopped, so the discriminator terms
     # backprop only into the discriminators. Forward-identical to the
     # generator-view applications -> CSE'd by XLA.
-    disc_real_a, st_da1 = d_a(params["d_A"], real_a)
-    disc_real_b, st_db1 = d_b(params["d_B"], real_b)
+    disc_real_a, st_da1 = d_a(params["d_A"], real_a_net)
+    disc_real_b, st_db1 = d_b(params["d_B"], real_b_net)
     disc_fake_a_d, st_da2 = d_a(params["d_A"], sg(fake_a))
     disc_fake_b_d, st_db2 = d_b(params["d_B"], sg(fake_b))
+
+    # Losses in f32 regardless of compute dtype.
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    cycled_a, cycled_b = f32(cycled_a), f32(cycled_b)
+    same_a, same_b = f32(same_a), f32(same_b)
+    disc_fake_a_gen, disc_fake_b_gen = f32(disc_fake_a_gen), f32(disc_fake_b_gen)
+    disc_real_a, disc_real_b = f32(disc_real_a), f32(disc_real_b)
+    disc_fake_a_d, disc_fake_b_d = f32(disc_fake_a_d), f32(disc_fake_b_d)
 
     w = loss_weights
     gAB_adv = generator_loss(disc_fake_b_gen, loss_obj, w["generator"])
@@ -205,6 +236,7 @@ def make_validate_step(
     preprocess: Optional[Callable] = None,
     mesh=None,
     mesh_axis: str = "data",
+    compute_dtype: str = "float32",
 ) -> Callable:
     """Build the jitted eval step (reference: validate_step with
     training=False, cyclegan/model.py:91-134, called at :219-223).
@@ -215,6 +247,7 @@ def make_validate_step(
     """
     loss_obj = get_loss_obj(loss_name)
     weights = {k: float(v) for k, v in dict(loss_weights).items()}
+    cdtype = jnp.dtype(compute_dtype)
 
     def validate_step(state: TrainState, real_a, real_b):
         if preprocess is not None:
@@ -231,6 +264,7 @@ def make_validate_step(
             train=False,
             rng=None,
             stop_grads=False,
+            compute_dtype=cdtype,
         )
         return metrics
 
@@ -253,6 +287,7 @@ def make_train_step(
     preprocess: Optional[Callable] = None,
     mesh=None,
     mesh_axis: str = "data",
+    compute_dtype: str = "float32",
 ) -> Callable:
     """Build the jitted train step: one forward set, ONE backward pass,
     four optimizer updates (reference: train_step, cyclegan/model.py:136-154).
@@ -272,6 +307,7 @@ def make_train_step(
     """
     loss_obj = get_loss_obj(loss_name)
     weights = {k: float(v) for k, v in dict(loss_weights).items()}
+    cdtype = jnp.dtype(compute_dtype)
 
     def loss_fn(params, model_state, real_a, real_b, rng):
         surrogate, metrics, new_model_state = _forward_losses(
@@ -285,6 +321,7 @@ def make_train_step(
             train=True,
             rng=rng,
             stop_grads=True,
+            compute_dtype=cdtype,
         )
         return surrogate, (metrics, new_model_state)
 

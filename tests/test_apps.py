@@ -1,0 +1,73 @@
+"""Inference-session and flows tests."""
+
+import numpy as np
+import pytest
+
+from cyclegan_tpu.apps.inference import InferenceSession
+from tests.test_trainer import tiny_dataset, tiny_model_config, tiny_train_config
+
+
+@pytest.fixture(scope="module")
+def trained_model_dir(tmp_path_factory):
+    from cyclegan_tpu.trainer import CycleGan
+
+    tmp_path = tmp_path_factory.mktemp("model")
+    gan = CycleGan(tiny_model_config(tmp_path), tiny_train_config(epochs=1))
+    train_ds, val_ds = tiny_dataset()
+    gan.train(train_ds, val_ds)
+    return tmp_path / "tiny"
+
+
+def test_inference_session_stylize(trained_model_dir):
+    session = InferenceSession(trained_model_dir)
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    for direction in ("a2b", "b2a"):
+        out = session.stylize(batch, direction)
+        assert out.shape == batch.shape
+        assert out.dtype == np.uint8
+
+
+def test_inference_session_shape_buckets(trained_model_dir):
+    """Arbitrary-resolution stylization via per-shape compilation, the jit
+    answer to the reference's Input([None,None,3]) polymorphism (and
+    BASELINE.json config #5's 512x512 path, scaled down for CPU tests)."""
+    session = InferenceSession(trained_model_dir)
+    rng = np.random.default_rng(1)
+    for size in (16, 32):
+        batch = rng.integers(0, 256, size=(1, size, size, 3), dtype=np.uint8)
+        out = session.stylize(batch, "a2b")
+        assert out.shape == (1, size, size, 3)
+
+
+def test_prediction_triple(trained_model_dir):
+    cv2 = pytest.importorskip("cv2")
+    session = InferenceSession(trained_model_dir)
+    rng = np.random.default_rng(2)
+    bgr = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    original, ab, ba = session.prediction_triple(bgr, size=(16, 16))
+    assert original.shape == (16, 16, 3)
+    assert ab.shape == (16, 16, 3) and ab.dtype == np.uint8
+    assert ba.shape == (16, 16, 3)
+    # original must be the BGR->RGB converted resize
+    np.testing.assert_array_equal(
+        original, cv2.resize(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB), (16, 16))
+    )
+
+
+def test_flows_tfrecords_cli(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from cyclegan_tpu.apps.flows import tfrecords_flow
+    from cyclegan_tpu.data import read_tfrecord_file
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        cv2.imwrite(str(src / f"{i}.png"),
+                    rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8))
+    dest = tmp_path / "records"
+    tfrecords_flow([src], [dest], size=16)
+    shards = sorted(dest.glob("*.tfrecords"))
+    assert shards
+    assert sum(len(list(read_tfrecord_file(p))) for p in shards) == 3

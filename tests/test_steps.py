@@ -152,3 +152,27 @@ def test_train_step_rng_advances(batch):
     real_a, real_b = batch
     new_state, _ = train_step(state, real_a, real_b)
     assert not np.array_equal(np.asarray(state.rng), np.asarray(new_state.rng))
+
+
+def test_train_step_bfloat16_compute(batch):
+    """bf16 compute path: master params stay f32, step runs, metrics finite."""
+    models = build_models()
+    state, optimizers = build_state(models)
+    train_step = make_train_step(
+        models, optimizers, "mse", LOSS_WEIGHTS, donate=False,
+        compute_dtype="bfloat16",
+    )
+    real_a, real_b = batch
+    new_state, metrics = train_step(state, real_a, real_b)
+    leaves = jax.tree_util.tree_leaves(new_state.params)
+    assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+    for key, value in metrics.items():
+        assert np.isfinite(float(value)), key
+    # bf16 step should still roughly track the f32 step's loss values
+    f32_step = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                               donate=False)
+    _, metrics32 = f32_step(state, real_a, real_b)
+    for key in ("gAB_loss", "gBA_loss", "dA_loss", "dB_loss"):
+        assert float(metrics[key]) == pytest.approx(
+            float(metrics32[key]), rel=0.1
+        ), key
