@@ -25,9 +25,14 @@ def instance_norm(
 
     Statistics are computed in f32 regardless of input dtype so bf16
     activations stay numerically stable; XLA fuses the whole epilogue into
-    the producing conv where profitable (a Pallas variant lives in
-    ``cyclegan_tpu.ops.pallas_norm``).
+    the producing conv where profitable. When the Pallas kernel is enabled
+    (``cyclegan_tpu.ops.pallas_norm.enable()``), dispatch goes to the
+    2-pass streaming kernel instead.
     """
+    from cyclegan_tpu.ops import pallas_norm
+
+    if pallas_norm.is_enabled():
+        return pallas_norm.pallas_instance_norm(x, gamma, beta, eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
