@@ -1,0 +1,122 @@
+"""ctypes binding for the native (C++) data loader.
+
+Wraps ``native/libcyclegan_loader.so`` (built from native/loader.cc):
+TFRecord framing + CRC32C verify + Example parse + PNG/JPEG decode +
+bilinear resize, multithreaded in C++. The pipeline
+(:mod:`cyclegan_tpu.data.pipeline`) uses it when available and silently
+falls back to the Python/cv2 path otherwise; the library is auto-built on
+first use when a toolchain is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libcyclegan_loader.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _build() -> bool:
+    if not (_NATIVE_DIR / "loader.cc").exists():
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+        return _LIB_PATH.exists()
+    except Exception as exc:  # noqa: BLE001 - any build failure -> fallback
+        logger.info("native loader build failed (%s); using python path", exc)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError as exc:
+        logger.info("native loader unavailable (%s)", exc)
+        return None
+    lib.tfr_count_records.restype = ctypes.c_long
+    lib.tfr_count_records.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.tfr_decode_domain.restype = ctypes.c_long
+    lib.tfr_decode_domain.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_long,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    _lib = lib
+    return _lib
+
+
+def _paths_array(records: Sequence[str]):
+    encoded = [str(p).encode() for p in records]
+    array = (ctypes.c_char_p * len(encoded))(*encoded)
+    return array
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def load_domain_native(
+    records: Sequence[str],
+    width: int,
+    verify_crc: bool = True,
+    n_threads: int = 0,
+) -> Optional[np.ndarray]:
+    """Decode + resize all examples in the shard list to an
+    (N, width, width, 3) uint8 RGB array via the C++ loader.
+
+    Returns None when the native path is unavailable or fails (caller
+    falls back to Python).
+    """
+    lib = get_lib()
+    if lib is None or not records:
+        return None
+    paths = _paths_array(records)
+    count = lib.tfr_count_records(paths, len(records), int(verify_crc))
+    if count < 0:
+        logger.warning("native record count failed; falling back to python")
+        return None
+    out = np.empty((count, width, width, 3), np.uint8)
+    decoded = lib.tfr_decode_domain(
+        paths,
+        len(records),
+        width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        count,
+        int(verify_crc),
+        n_threads,
+    )
+    if decoded < 0:
+        logger.warning("native decode failed; falling back to python")
+        return None
+    return out[:decoded]

@@ -43,7 +43,17 @@ except Exception:  # pragma: no cover
 
 def _load_domain(records: Sequence[str], width: int) -> np.ndarray:
     """Decode + resize every example in a list of shard files into one
-    (N, width, width, 3) uint8 array, in parallel on host threads."""
+    (N, width, width, 3) uint8 array.
+
+    Uses the native C++ loader (native/loader.cc — TFRecord + CRC32C +
+    PNG/JPEG decode + resize on a thread pool) when available, else a
+    Python thread pool over cv2/PIL."""
+    from cyclegan_tpu.data.native import load_domain_native
+
+    native = load_domain_native(records, width)
+    if native is not None:
+        return native
+
     raw: List[bytes] = []
     for path in records:
         raw.extend(read_tfrecord_file(path))

@@ -49,9 +49,13 @@ def is_enabled() -> bool:
 
 
 def _pick_chunk(hw: int, channels: int, itemsize: int) -> int:
-    """Largest HW chunk that divides hw and keeps a block under ~2 MB."""
-    budget = 2 * 1024 * 1024
-    chunk = max(1, min(hw, budget // max(1, channels * itemsize)))
+    """Largest HW chunk that divides hw and keeps a block under ~1 MB of
+    *physical* VMEM. The lane dim is padded to 128 (and sublanes to 8), so
+    small channel counts occupy far more VMEM than their logical size —
+    budget on the padded footprint."""
+    padded_c = -(-channels // 128) * 128
+    budget = 1024 * 1024
+    chunk = max(8, min(hw, budget // max(1, padded_c * itemsize)))
     while hw % chunk:
         chunk -= 1
     return chunk

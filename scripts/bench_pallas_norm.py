@@ -5,6 +5,11 @@ SURVEY.md §7: the Pallas kernel "must beat XLA's fusion to justify itself —
 benchmark both and keep the faster."
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 

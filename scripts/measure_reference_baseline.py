@@ -17,6 +17,11 @@ kernels 7/5/3) — with four Adam(2e-4, b1=0.5) optimizers and the
 persistent-tape 4-gradient train step, matching cyclegan/model.py:136-154.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 
