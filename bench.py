@@ -22,9 +22,12 @@ import time
 import numpy as np
 
 # Reference TF/Keras estimated throughput on its original single GPU for the
-# default 256x256 batch-8 recipe. Derivation in BASELINE.md §"Estimated
+# default 256x256 batch-8 recipe: ~1.2 TFLOP/pair (XLA-counted 674 GFLOP for
+# our 1-backward step, scaled ~1.8x for the reference's 4 tape.gradient
+# backward passes) on a ~30 f32-TFLOP 2021 GPU at ~10% MFU (TF 2.7, no XLA,
+# python-layer instance norm). Full derivation in BASELINE.md §"Estimated
 # reference GPU baseline".
-REFERENCE_GPU_IMAGES_PER_SEC = 95.0
+REFERENCE_GPU_IMAGES_PER_SEC = 2.5
 
 
 def build_step(batch_size: int, image_size: int, compute_dtype: str):
@@ -85,6 +88,23 @@ def build_step(batch_size: int, image_size: int, compute_dtype: str):
     return train_step, state, real_a, real_b, n_devices
 
 
+def _run_chain(train_step, state, real_a, real_b, steps):
+    """Run `steps` chained train steps and force completion by fetching a
+    scalar off the final step's metrics. The state dependency chain makes
+    the fetch wait for every step; a single host round-trip is amortized.
+
+    (jax.block_until_ready is NOT sufficient on tunneled single-chip
+    setups — it can return before remote execution finishes, producing
+    physically impossible throughput. Timing is therefore the *marginal*
+    cost between two chain lengths, which also cancels the round-trip.)"""
+    start = time.perf_counter()
+    metrics = None
+    for _ in range(steps):
+        state, metrics = train_step(state, real_a, real_b)
+    _ = float(metrics["gAB_loss"])
+    return time.perf_counter() - start, state
+
+
 def main():
     parser = argparse.ArgumentParser("cyclegan_tpu benchmark")
     parser.add_argument("--batch", type=int, default=8,
@@ -98,24 +118,18 @@ def main():
                         "f32; bf16 is the TPU fast path)")
     args = parser.parse_args()
 
-    import jax
-
     train_step, state, real_a, real_b, n_devices = build_step(
         args.batch, args.image_size, args.dtype
     )
 
-    for _ in range(args.warmup):
-        state, metrics = train_step(state, real_a, real_b)
-    jax.block_until_ready(state.params)
+    short = max(2, args.warmup)
+    _, state = _run_chain(train_step, state, real_a, real_b, args.warmup)
+    t_short, state = _run_chain(train_step, state, real_a, real_b, short)
+    t_long, state = _run_chain(train_step, state, real_a, real_b,
+                               short + args.steps)
+    per_step = (t_long - t_short) / args.steps
 
-    start = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = train_step(state, real_a, real_b)
-    jax.block_until_ready(state.params)
-    elapsed = time.perf_counter() - start
-
-    total_images = args.batch * n_devices * args.steps
-    images_per_sec = total_images / elapsed
+    images_per_sec = args.batch * n_devices / per_step
     per_chip = images_per_sec / n_devices
 
     print(

@@ -31,7 +31,7 @@ def instance_norm(
     """
     from cyclegan_tpu.ops import pallas_norm
 
-    if pallas_norm.is_enabled():
+    if pallas_norm.is_enabled() and pallas_norm.profitable(x.shape[-1]):
         return pallas_norm.pallas_instance_norm(x, gamma, beta, eps)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)

@@ -183,6 +183,19 @@ def _instance_norm_bwd(eps, interpret, residuals, dy):
 _instance_norm_p.defvjp(_instance_norm_fwd, _instance_norm_bwd)
 
 
+def profitable(c: int) -> bool:
+    """Whether the kernel's forced row-major layout is affordable.
+
+    The custom call constrains the operand to {2,1,0} row-major, putting C
+    on the 128-wide lane dim: C=16 pads 8x in both VMEM *and* the HBM temps
+    XLA materializes around the call (measured: full-step HBM OOM at 256^2).
+    Only dispatch when lane padding is <= ~1.35x — which is also exactly
+    where the kernel wins biggest standalone (5.2x at C=128; see
+    scripts/bench_pallas_norm.py)."""
+    padded = -(-c // 128) * 128
+    return padded / c <= 1.35
+
+
 def pallas_instance_norm(
     x: jnp.ndarray,
     gamma: Optional[jnp.ndarray] = None,

@@ -28,15 +28,25 @@ SHAPES = [
 ]
 
 
-def time_fn(fn, *args, iters=50, warmup=5):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def _chain(fn, x, iters):
+    """Apply fn iters times in a dependency chain and force completion by
+    fetching a scalar (block_until_ready can return early through the
+    remote-TPU tunnel)."""
     start = time.perf_counter()
+    y = x
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / iters
+        y = fn(y)
+    _ = float(jnp.sum(y))
+    return time.perf_counter() - start
+
+
+def time_fn(fn, x, iters=60, warmup=10):
+    """Marginal time per application between two chain lengths (cancels the
+    host round-trip)."""
+    _chain(fn, x, warmup)
+    t_short = _chain(fn, x, warmup)
+    t_long = _chain(fn, x, warmup + iters)
+    return max(t_long - t_short, 1e-9) / iters
 
 
 def bench_standalone(dtype):
@@ -60,22 +70,17 @@ def bench_standalone(dtype):
 
 
 def bench_full_step(dtype):
-    from bench import build_step
+    from bench import _run_chain, build_step
 
     print(f"-- full train step ({dtype}) --")
     for use_pallas in (False, True):
         pallas_norm.enable(use_pallas)
         try:
             step, state, a, b, n = build_step(8, 256, dtype)
-            for _ in range(3):
-                state, _ = step(state, a, b)
-            jax.block_until_ready(state.params)
-            start = time.perf_counter()
-            iters = 20
-            for _ in range(iters):
-                state, _ = step(state, a, b)
-            jax.block_until_ready(state.params)
-            per_step = (time.perf_counter() - start) / iters
+            _, state = _run_chain(step, state, a, b, 4)
+            t_short, state = _run_chain(step, state, a, b, 4)
+            t_long, state = _run_chain(step, state, a, b, 24)
+            per_step = (t_long - t_short) / 20
             print(f"pallas={use_pallas}: {per_step*1e3:.2f} ms/step "
                   f"({8*n/per_step:.1f} img/s)")
         finally:
