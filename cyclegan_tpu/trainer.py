@@ -68,6 +68,22 @@ class CycleGan:
         self.train_summaries = SummaryWriter(join(self.model_folder, "train"))
         self.val_summaries = SummaryWriter(join(self.model_folder, "validation"))
 
+        # Optional perf knobs (default = reference behavior):
+        #   compute_dtype: bfloat16 runs the network math on the MXU fast
+        #     path (f32 master params); float32 keeps TF-parity numerics.
+        #   pallas_norm: route instance norm through the fused Pallas
+        #     kernel where the layout is profitable.
+        #   display_every: batches between metric fetches — each fetch is a
+        #     host<->device sync, which on remote/tunneled TPUs costs far
+        #     more than the step itself. 1 = reference parity (per-batch
+        #     tqdm postfix); 0 = fetch only at epoch end.
+        self.compute_dtype = str(train_config.get("compute_dtype", "float32"))
+        self.display_every = int(train_config.get("display_every", 1))
+        if bool(train_config.get("pallas_norm", False)):
+            from cyclegan_tpu.ops import pallas_norm
+
+            pallas_norm.enable(True)
+
         self.models = {
             "g_AB": create_model(model_config.generator),
             "g_BA": create_model(model_config.generator),
@@ -105,6 +121,7 @@ class CycleGan:
             self.loss_weights,
             preprocess=train_preprocess,
             mesh=mesh,
+            compute_dtype=self.compute_dtype,
         )
         self.validate_step_fn = make_validate_step(
             self.models,
@@ -112,6 +129,7 @@ class CycleGan:
             self.loss_weights,
             preprocess=prepare_eval_batch,
             mesh=mesh,
+            compute_dtype=self.compute_dtype,
         )
         self._predict_fns: Dict[str, object] = {}
 
@@ -168,13 +186,21 @@ class CycleGan:
                 ncols=0,
                 total=training_size,
             )
-            for images_a, images_b in train_bar:
+            pending = []
+            for i, (images_a, images_b) in enumerate(train_bar):
                 images_a, images_b = self._put(images_a, images_b)
                 self.state, losses = self.train_step_fn(
                     self.state, images_a, images_b
                 )
-                self._update_metrics(train_metrics, losses)
-                self._display_metrics(train_metrics, train_bar)
+                # Defer the device->host metric fetch: each fetch is a full
+                # sync, so batch them per display_every (0 = epoch end only)
+                # while steps keep dispatching asynchronously.
+                pending.append(losses)
+                if self.display_every and (i + 1) % self.display_every == 0:
+                    self._drain_metrics(train_metrics, pending)
+                    self._display_metrics(train_metrics, train_bar)
+            self._drain_metrics(train_metrics, pending)
+            self._display_metrics(train_metrics, train_bar)
 
             self._write_summaries(self.train_summaries, e, train_metrics)
             if e % save_images_every == 0:
@@ -187,11 +213,16 @@ class CycleGan:
                 ncols=0,
                 total=validation_size,
             )
-            for images_a, images_b in val_bar:
+            pending = []
+            for i, (images_a, images_b) in enumerate(val_bar):
                 images_a, images_b = self._put(images_a, images_b)
                 losses = self.validate_step_fn(self.state, images_a, images_b)
-                self._update_metrics(val_metrics, losses)
-                self._display_metrics(val_metrics, val_bar)
+                pending.append(losses)
+                if self.display_every and (i + 1) % self.display_every == 0:
+                    self._drain_metrics(val_metrics, pending)
+                    self._display_metrics(val_metrics, val_bar)
+            self._drain_metrics(val_metrics, pending)
+            self._display_metrics(val_metrics, val_bar)
             self._write_summaries(self.val_summaries, e, val_metrics)
 
             if e % save_model_every == 0:
@@ -261,6 +292,17 @@ class CycleGan:
         values = jax.device_get(metrics)
         for name in metrics_dict:
             metrics_dict[name].update_state(values[name])
+
+    @staticmethod
+    def _drain_metrics(metrics_dict, pending) -> None:
+        """Fetch a batch of per-step device metrics in one transfer and
+        fold them into the epoch accumulators."""
+        if not pending:
+            return
+        for values in jax.device_get(pending):
+            for name in metrics_dict:
+                metrics_dict[name].update_state(values[name])
+        pending.clear()
 
     @staticmethod
     def _display_metrics(metrics_dict, progress_bar) -> None:

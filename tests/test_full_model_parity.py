@@ -106,3 +106,119 @@ def test_unet_generator_matches_tf(spec):
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-3)
     # and typically far tighter:
     assert float(np.max(np.abs(np.asarray(ours) - theirs))) < 5e-4
+
+
+def _build_tf_resnet(filters):
+    """Reference-architecture resnet generator in TF (spec: SURVEY.md §2 /
+    cyclegan/resnet.py:63-85), non-affine instance norm, built here as the
+    independent parity oracle."""
+
+    # Keras 3 rejects raw tf ops on KerasTensors; wrap them in Lambda layers.
+    def reflect(x, p):
+        return tf.keras.layers.Lambda(
+            lambda t: tf.pad(t, [[0, 0], [p, p], [p, p], [0, 0]], "REFLECT")
+        )(x)
+
+    def _inorm(t):
+        mean, var = tf.nn.moments(t, axes=[1, 2], keepdims=True)
+        return (t - mean) * tf.math.rsqrt(var + 1e-3)
+
+    def inorm(x):
+        return tf.keras.layers.Lambda(_inorm)(x)
+
+    relu = tf.keras.layers.ReLU()
+    init = tf.random_normal_initializer(0.0, 0.02)
+    inputs = tf.keras.Input((IMAGE_SIZE, IMAGE_SIZE, 3))
+    x = reflect(inputs, 3)
+    x = tf.keras.layers.Conv2D(filters, 7, padding="valid",
+                               kernel_initializer=init)(x)
+    x = relu(inorm(x))
+    for mult in (2, 4):
+        x = tf.keras.layers.Conv2D(filters * mult, 3, strides=2,
+                                   padding="same", kernel_initializer=init)(x)
+        x = relu(inorm(x))
+    for _ in range(9):
+        y = reflect(x, 1)
+        y = tf.keras.layers.Conv2D(filters * 4, 3, padding="valid",
+                                   kernel_initializer=init)(y)
+        y = relu(inorm(y))
+        y = reflect(y, 1)
+        y = tf.keras.layers.Conv2D(filters * 4, 3, padding="valid",
+                                   kernel_initializer=init)(y)
+        x = tf.keras.layers.Add()([x, inorm(y)])
+    for mult in (2, 1):
+        x = tf.keras.layers.Conv2DTranspose(filters * mult, 3, strides=2,
+                                            padding="same",
+                                            kernel_initializer=init)(x)
+        x = relu(inorm(x))
+    x = reflect(x, 3)
+    x = tf.keras.layers.Conv2D(3, 7, padding="valid",
+                               kernel_initializer=init)(x)
+    x = tf.keras.layers.Activation("tanh")(x)
+    return tf.keras.Model(inputs, x)
+
+
+def test_resnet_generator_matches_tf():
+    from cyclegan_tpu.models import resnet_generator
+
+    filters = 8
+    tf_model = _build_tf_resnet(filters)
+    model = resnet_generator(dict(filters=filters))
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    convs = [l for l in tf_model.layers if l.get_weights()]
+    slots = [params["stem"], *params["down"]]
+    for block in params["res"]:
+        slots.extend([block["conv1"], block["conv2"]])
+    slots.extend([*params["up"], params["head"]])
+    assert len(convs) == len(slots)
+    for layer, target in zip(convs, slots):
+        kernel, bias = layer.get_weights()
+        assert kernel.shape == np.asarray(target["w"]).shape
+        target["w"] = jnp.asarray(kernel)
+        target["b"] = jnp.asarray(bias)
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-1, 1, (1, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+    theirs = tf_model(x, training=False).numpy()
+    ours, _ = model.apply(params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-3)
+
+
+def test_simple_discriminator_matches_tf():
+    from cyclegan_tpu.models import simple_discriminator
+
+    def _inorm(t):
+        mean, var = tf.nn.moments(t, axes=[1, 2], keepdims=True)
+        return (t - mean) * tf.math.rsqrt(var + 1e-3)
+
+    init = tf.random_normal_initializer(0.0, 0.02)
+    inputs = tf.keras.Input((IMAGE_SIZE, IMAGE_SIZE, 3))
+    x = inputs
+    for k, f in zip([4, 4, 4], [8, 16, 32]):
+        x = tf.keras.layers.Conv2D(f, k, strides=2, padding="same",
+                                   kernel_initializer=init)(x)
+        x = tf.keras.layers.Lambda(_inorm)(x)
+        x = tf.keras.layers.LeakyReLU(0.2)(x)
+    x = tf.keras.layers.Conv2D(1, 1, padding="same",
+                               kernel_initializer=init)(x)
+    tf_model = tf.keras.Model(inputs, x)
+
+    model = simple_discriminator(
+        dict(filters=[8, 16, 32], kernels=[4, 4, 4],
+             normalization="instancenorm")
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    convs = [l for l in tf_model.layers if l.get_weights()]
+    slots = [b["conv"] for b in params["blocks"]] + [params["head"]]
+    assert len(convs) == len(slots)
+    for layer, target in zip(convs, slots):
+        kernel, bias = layer.get_weights()
+        target["w"] = jnp.asarray(kernel)
+        target["b"] = jnp.asarray(bias)
+
+    rng = np.random.default_rng(10)
+    x = rng.uniform(-1, 1, (2, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+    theirs = tf_model(x, training=False).numpy()
+    ours, _ = model.apply(params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-3)
