@@ -79,6 +79,14 @@ class CycleGan:
         #     tqdm postfix); 0 = fetch only at epoch end.
         self.compute_dtype = str(train_config.get("compute_dtype", "float32"))
         self.display_every = int(train_config.get("display_every", 1))
+        # profile_dir: write a jax.profiler trace of the first
+        # profile_steps train batches (perfetto-compatible). nan_check:
+        # raise as soon as an epoch metric goes non-finite — the TPU
+        # analogue of the reference's (absent) failure detection
+        # (SURVEY.md §5).
+        self.profile_dir = train_config.get("profile_dir")
+        self.profile_steps = int(train_config.get("profile_steps", 5))
+        self.nan_check = bool(train_config.get("nan_check", True))
         if bool(train_config.get("pallas_norm", False)):
             from cyclegan_tpu.ops import pallas_norm
 
@@ -187,11 +195,18 @@ class CycleGan:
                 total=training_size,
             )
             pending = []
+            profiling = bool(self.profile_dir) and e == current_epoch
+            if profiling:
+                jax.profiler.start_trace(str(self.profile_dir))
             for i, (images_a, images_b) in enumerate(train_bar):
                 images_a, images_b = self._put(images_a, images_b)
                 self.state, losses = self.train_step_fn(
                     self.state, images_a, images_b
                 )
+                if profiling and i + 1 >= self.profile_steps:
+                    jax.device_get(losses)  # close out the traced steps
+                    jax.profiler.stop_trace()
+                    profiling = False
                 # Defer the device->host metric fetch: each fetch is a full
                 # sync, so batch them per display_every (0 = epoch end only)
                 # while steps keep dispatching asynchronously.
@@ -293,15 +308,20 @@ class CycleGan:
         for name in metrics_dict:
             metrics_dict[name].update_state(values[name])
 
-    @staticmethod
-    def _drain_metrics(metrics_dict, pending) -> None:
+    def _drain_metrics(self, metrics_dict, pending) -> None:
         """Fetch a batch of per-step device metrics in one transfer and
         fold them into the epoch accumulators."""
         if not pending:
             return
         for values in jax.device_get(pending):
             for name in metrics_dict:
-                metrics_dict[name].update_state(values[name])
+                value = float(values[name])
+                if self.nan_check and not np.isfinite(value):
+                    raise FloatingPointError(
+                        f"metric {name} went non-finite ({value}) at step "
+                        f"{int(self.state.step)} — training diverged"
+                    )
+                metrics_dict[name].update_state(value)
         pending.clear()
 
     @staticmethod

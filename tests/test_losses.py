@@ -70,3 +70,29 @@ def test_accuracy():
     fake = jnp.asarray([0.1, 0.6])  # one correct, one wrong
     assert float(accuracy(real, fake)) == pytest.approx(0.5)
     assert float(accuracy(jnp.asarray([0.9]), jnp.asarray([0.1]))) == pytest.approx(1.0)
+
+
+def test_optimizer_registry_all_variants():
+    """All four reference optimizer names build and step
+    (cyclegan/optimizers.py:14-23)."""
+    import jax.numpy as jnp
+    import optax
+
+    from cyclegan_tpu.optimizers import get_optimizer
+
+    params = jnp.ones((3,))
+    grads = jnp.full((3,), 0.5)
+    for cfg in (
+        dict(name="adam", learning_rate=1e-3, beta_1=0.5),
+        dict(name="rmsprop", learning_rate=1e-3),
+        dict(name="sgd", learning_rate=1e-3),
+        dict(name="adabelief", learning_rate=1e-3),
+    ):
+        opt = get_optimizer(cfg)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        new_params = optax.apply_updates(params, updates)
+        assert float(new_params[0]) < 1.0, cfg["name"]
+
+    with pytest.raises(ValueError):
+        get_optimizer(dict(name="lamb", learning_rate=1e-3))
