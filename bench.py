@@ -30,7 +30,8 @@ import numpy as np
 REFERENCE_GPU_IMAGES_PER_SEC = 2.5
 
 
-def build_step(batch_size: int, image_size: int, compute_dtype: str):
+def build_step(batch_size: int, image_size: int, compute_dtype: str,
+               model_config_path: str = "configs/cycle.yaml"):
     import jax
 
     from cyclegan_tpu.config import yaml2namespace
@@ -40,7 +41,7 @@ def build_step(batch_size: int, image_size: int, compute_dtype: str):
     from cyclegan_tpu.parallel import create_mesh, replicate, shard_batch
     from cyclegan_tpu.steps import init_train_state, make_train_step
 
-    model_config = yaml2namespace("configs/cycle.yaml")
+    model_config = yaml2namespace(model_config_path)
     train_config = yaml2namespace("configs/training_config.yaml")
     models = {
         "g_AB": create_model(model_config.generator),
@@ -116,10 +117,20 @@ def main():
                         choices=["float32", "bfloat16"],
                         help="compute dtype for the conv path (params stay "
                         "f32; bf16 is the TPU fast path)")
+    parser.add_argument("--model_config", default="configs/cycle.yaml",
+                        help="model config to benchmark (e.g. "
+                        "configs/resnet.yaml for the canonical recipe)")
+    parser.add_argument("--pallas", action="store_true",
+                        help="route instance norm through the Pallas kernel")
     args = parser.parse_args()
 
+    if args.pallas:
+        from cyclegan_tpu.ops import pallas_norm
+
+        pallas_norm.enable(True)
+
     train_step, state, real_a, real_b, n_devices = build_step(
-        args.batch, args.image_size, args.dtype
+        args.batch, args.image_size, args.dtype, args.model_config
     )
 
     short = max(2, args.warmup)
@@ -135,7 +146,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"train_images_per_sec_per_chip_{args.image_size}px_b{args.batch}_{args.dtype}",
+                "metric": (
+                    "train_images_per_sec_per_chip_"
+                    f"{args.image_size}px_b{args.batch}_{args.dtype}"
+                    + ("_resnet" if "resnet" in str(args.model_config) else "")
+                    + ("_pallas" if args.pallas else "")
+                ),
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(per_chip / REFERENCE_GPU_IMAGES_PER_SEC, 3),

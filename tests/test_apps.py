@@ -71,3 +71,27 @@ def test_flows_tfrecords_cli(tmp_path):
     shards = sorted(dest.glob("*.tfrecords"))
     assert shards
     assert sum(len(list(read_tfrecord_file(p))) for p in shards) == 3
+
+
+def test_export_records(tmp_path, trained_model_dir):
+    """TFRecord -> stylized PNG export pipeline (BASELINE config #5,
+    scaled down for CPU)."""
+    import cv2
+
+    from cyclegan_tpu.apps.export import export_records
+    from cyclegan_tpu.data import tfrecord_writer
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    rng = np.random.default_rng(4)
+    for i in range(5):
+        cv2.imwrite(str(src / f"{i}.png"),
+                    rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8))
+    shards = tfrecord_writer(src, tmp_path / "records", shard_size=3, seed=0)
+
+    out = tmp_path / "exports"
+    written = export_records([str(p) for p in shards], trained_model_dir,
+                             out, direction="a2b", size=16, batch=2)
+    assert len(written) == 5
+    decoded = cv2.imread(str(written[0]), cv2.IMREAD_COLOR)
+    assert decoded.shape == (16, 16, 3)
