@@ -114,6 +114,7 @@ def _forward_losses(
     rng: Optional[jax.Array],
     stop_grads: bool,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Shared forward set + losses (reference: validate_step,
     cyclegan/model.py:91-134).
@@ -147,6 +148,13 @@ def _forward_losses(
     def g_ba(x, r):
         return models["g_BA"].apply(params["g_BA"], model_state["g_BA"], x,
                                      train=train, rng=r)
+
+    if remat:
+        # Rematerialize the six generator forwards in the backward pass —
+        # trades FLOPs for HBM so larger batches/resolutions fit
+        # (SURVEY.md: jax.checkpoint as the TPU memory lever).
+        g_ab = jax.checkpoint(g_ab)
+        g_ba = jax.checkpoint(g_ba)
 
     def d_a(p, x):
         return models["d_A"].apply(p, model_state["d_A"], x, train=train)
@@ -288,6 +296,7 @@ def make_train_step(
     mesh=None,
     mesh_axis: str = "data",
     compute_dtype: str = "float32",
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted train step: one forward set, ONE backward pass,
     four optimizer updates (reference: train_step, cyclegan/model.py:136-154).
@@ -322,6 +331,7 @@ def make_train_step(
             rng=rng,
             stop_grads=True,
             compute_dtype=cdtype,
+            remat=remat,
         )
         return surrogate, (metrics, new_model_state)
 

@@ -176,3 +176,22 @@ def test_train_step_bfloat16_compute(batch):
         assert float(metrics[key]) == pytest.approx(
             float(metrics32[key]), rel=0.1
         ), key
+
+
+def test_train_step_remat_matches(batch):
+    """remat=True must be numerics-identical (same grads, just
+    recomputed) to the default step."""
+    models = build_models()
+    state, optimizers = build_state(models)
+    base = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                           donate=False)
+    remat = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                            donate=False, remat=True)
+    real_a, real_b = batch
+    s1, m1 = base(state, real_a, real_b)
+    s2, m2 = remat(state, real_a, real_b)
+    for key in m1:
+        assert float(m1[key]) == pytest.approx(float(m2[key]), abs=1e-6), key
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
