@@ -195,3 +195,39 @@ def test_train_step_remat_matches(batch):
     p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
     p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_train_step_with_dropout_generators(batch):
+    """Dropout generators need per-application rng threading inside the
+    step (the reference's training=True dropout path, cyclegan/unet.py:34)."""
+    cfg = dict(GEN_CFG, dropout=True)
+    models = dict(build_models(), g_AB=unet_generator(cfg),
+                  g_BA=unet_generator(cfg))
+    state, optimizers = build_state(models)
+    train_step = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                                 donate=False)
+    real_a, real_b = batch
+    s1, m1 = train_step(state, real_a, real_b)
+    assert np.isfinite(float(m1["gAB_loss"]))
+    # stochastic: two steps from the same state give different metrics
+    # only via different rng; same state+rng is deterministic
+    s2, m2 = train_step(state, real_a, real_b)
+    assert float(m1["gAB_loss"]) == pytest.approx(float(m2["gAB_loss"]))
+
+
+def test_train_step_with_batchnorm_updates_state(batch):
+    cfg = dict(GEN_CFG, normalization="batchnorm")
+    models = dict(build_models(), g_AB=unet_generator(cfg),
+                  g_BA=unet_generator(cfg))
+    state, optimizers = build_state(models)
+    train_step = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                                 donate=False)
+    real_a, real_b = batch
+    new_state, _ = train_step(state, real_a, real_b)
+    before = np.asarray(
+        state.model_state["g_AB"]["down"][0][0]["norm"]["moving_var"]
+    )
+    after = np.asarray(
+        new_state.model_state["g_AB"]["down"][0][0]["norm"]["moving_var"]
+    )
+    assert not np.allclose(before, after)
