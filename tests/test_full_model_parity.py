@@ -222,3 +222,83 @@ def test_simple_discriminator_matches_tf():
     theirs = tf_model(x, training=False).numpy()
     ours, _ = model.apply(params, state, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-3)
+
+
+def test_strided_unet_matches_tf():
+    """strided_unet (cyclegan/unet.py:39-78) vs a TF oracle: stride-2 conv
+    down, Conv2DTranspose up with norm after the skip concat."""
+    from cyclegan_tpu.models import strided_unet
+
+    filters, kernels = [8, 16, 16], [4, 4, 4]
+
+    def _inorm(t):
+        mean, var = tf.nn.moments(t, axes=[1, 2], keepdims=True)
+        return (t - mean) * tf.math.rsqrt(var + 1e-3)
+
+    class AffineIN(tf.keras.layers.Layer):
+        def build(self, input_shape):
+            c = input_shape[-1]
+            self.gamma = self.add_weight(name="gamma", shape=(c,),
+                                         initializer="ones")
+            self.beta = self.add_weight(name="beta", shape=(c,),
+                                        initializer="zeros")
+
+        def call(self, x):
+            return _inorm(x) * self.gamma + self.beta
+
+    init = tf.random_normal_initializer(0.0, 0.02)
+    inputs = tf.keras.Input((IMAGE_SIZE, IMAGE_SIZE, 3))
+    x = inputs
+    skips = []
+    for f, k in list(zip(filters, kernels))[:-1]:
+        x = tf.keras.layers.Conv2D(f, k, strides=2, padding="same",
+                                   kernel_initializer=init)(x)
+        x = AffineIN()(x)
+        x = tf.keras.layers.ReLU()(x)
+        skips.insert(0, x)
+    x = tf.keras.layers.Conv2D(filters[-1], kernels[-1], strides=2,
+                               padding="same", kernel_initializer=init)(x)
+    for f, skip, k in zip(filters[::-1][:-1], skips, kernels[:0:-1]):
+        x = tf.keras.layers.Conv2DTranspose(f, k, strides=2, padding="same",
+                                            kernel_initializer=init)(x)
+        x = tf.keras.layers.Concatenate()([skip, x])
+        x = AffineIN()(x)
+        x = tf.keras.layers.ReLU()(x)
+    x = tf.keras.layers.Conv2DTranspose(3, 4, strides=2, padding="same",
+                                        kernel_initializer=init,
+                                        activation="tanh")(x)
+    tf_model = tf.keras.Model(inputs, x)
+
+    config = dict(filters=filters, kernels=kernels, output_channels=3,
+                  normalization="instancenorm", final_activation="tanh")
+    model = strided_unet(config)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    weight_layers = [l for l in tf_model.layers if l.get_weights()]
+    slots = []
+    for level in params["down"]:
+        slots.append(("conv", level["conv"]))
+        slots.append(("norm", level["norm"]))
+    slots.append(("conv", params["bottom"]))
+    for level in params["up"]:
+        slots.append(("conv", level["convt"]))
+        slots.append(("norm", level["norm"]))
+    slots.append(("conv", params["last"]))
+    assert len(weight_layers) == len(slots)
+    for layer, (kind, target) in zip(weight_layers, slots):
+        weights = layer.get_weights()
+        if kind == "conv":
+            kernel, bias = weights
+            assert kernel.shape == np.asarray(target["w"]).shape
+            target["w"] = jnp.asarray(kernel)
+            target["b"] = jnp.asarray(bias)
+        else:
+            gamma, beta = weights
+            target["gamma"] = jnp.asarray(gamma)
+            target["beta"] = jnp.asarray(beta)
+
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1, 1, (2, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+    theirs = tf_model(x, training=False).numpy()
+    ours, _ = model.apply(params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-3)
