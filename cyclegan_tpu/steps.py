@@ -375,6 +375,57 @@ def make_train_step(
     )
 
 
+def make_train_multi_step(
+    models: Mapping[str, Model],
+    optimizers: Mapping[str, optax.GradientTransformation],
+    loss_name: str,
+    loss_weights: Mapping[str, float],
+    donate: bool = True,
+    preprocess: Optional[Callable] = None,
+    mesh=None,
+    mesh_axis: str = "data",
+    compute_dtype: str = "float32",
+    remat: bool = False,
+) -> Callable:
+    """Build a jitted K-step trainer: ``(state, real_a, real_b) ->
+    (state, stacked_metrics)`` where the batch leading dim is the step
+    axis, i.e. inputs are ``(K, B, H, W, C)``, executed with ``lax.scan``.
+
+    One dispatch runs K optimizer steps entirely on device — this
+    amortizes host round-trips (dominant on remote/tunneled TPUs) and
+    per-call overheads; the per-step math is byte-identical to
+    :func:`make_train_step` (it scans the same body).
+    """
+    single = make_train_step(
+        models, optimizers, loss_name, loss_weights,
+        donate=False, preprocess=preprocess, mesh=None,
+        compute_dtype=compute_dtype, remat=remat,
+    )
+    # un-jitted body: reuse the single-step computation inside the scan
+    inner = single.__wrapped__
+
+    def multi_step(state: TrainState, real_a, real_b):
+        def body(carry, ab):
+            new_state, metrics = inner(carry, ab[0], ab[1])
+            return new_state, metrics
+
+        return jax.lax.scan(body, state, (real_a, real_b))
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=donate_argnums)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(None, mesh_axis))  # (K, B, ...) shard B
+    return jax.jit(
+        multi_step,
+        donate_argnums=donate_argnums,
+        in_shardings=(replicated, batch, batch),
+        out_shardings=(replicated, replicated),
+    )
+
+
 def reference_gradients(
     models: Mapping[str, Model],
     loss_name: str,

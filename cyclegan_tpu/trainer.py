@@ -87,6 +87,9 @@ class CycleGan:
         self.profile_dir = train_config.get("profile_dir")
         self.profile_steps = int(train_config.get("profile_steps", 5))
         self.nan_check = bool(train_config.get("nan_check", True))
+        # steps_per_call > 1 runs K optimizer steps per dispatch via
+        # lax.scan — amortizes host round-trips (dominant on tunneled TPUs).
+        self.steps_per_call = int(train_config.get("steps_per_call", 1))
         if bool(train_config.get("pallas_norm", False)):
             from cyclegan_tpu.ops import pallas_norm
 
@@ -131,6 +134,19 @@ class CycleGan:
             mesh=mesh,
             compute_dtype=self.compute_dtype,
         )
+        self.multi_step_fn = None
+        if self.steps_per_call > 1:
+            from cyclegan_tpu.steps import make_train_multi_step
+
+            self.multi_step_fn = make_train_multi_step(
+                self.models,
+                self.optimizers,
+                model_config.loss,
+                self.loss_weights,
+                preprocess=train_preprocess,
+                mesh=mesh,
+                compute_dtype=self.compute_dtype,
+            )
         self.validate_step_fn = make_validate_step(
             self.models,
             model_config.loss,
@@ -195,14 +211,23 @@ class CycleGan:
                 total=training_size,
             )
             pending = []
+            chunk = []
             profiling = bool(self.profile_dir) and e == current_epoch
             if profiling:
                 jax.profiler.start_trace(str(self.profile_dir))
             for i, (images_a, images_b) in enumerate(train_bar):
-                images_a, images_b = self._put(images_a, images_b)
-                self.state, losses = self.train_step_fn(
-                    self.state, images_a, images_b
-                )
+                if self.multi_step_fn is not None:
+                    chunk.append((images_a, images_b))
+                    if len(chunk) == self.steps_per_call:
+                        losses = self._run_chunk(chunk)
+                        pending.append(losses)
+                        chunk = []
+                else:
+                    images_a, images_b = self._put(images_a, images_b)
+                    self.state, losses = self.train_step_fn(
+                        self.state, images_a, images_b
+                    )
+                    pending.append(losses)
                 if profiling and i + 1 >= self.profile_steps:
                     jax.device_get(losses)  # close out the traced steps
                     jax.profiler.stop_trace()
@@ -210,10 +235,16 @@ class CycleGan:
                 # Defer the device->host metric fetch: each fetch is a full
                 # sync, so batch them per display_every (0 = epoch end only)
                 # while steps keep dispatching asynchronously.
-                pending.append(losses)
                 if self.display_every and (i + 1) % self.display_every == 0:
                     self._drain_metrics(train_metrics, pending)
                     self._display_metrics(train_metrics, train_bar)
+            # ragged tail of a multi-step epoch: run single steps
+            for images_a, images_b in chunk:
+                images_a, images_b = self._put(images_a, images_b)
+                self.state, losses = self.train_step_fn(
+                    self.state, images_a, images_b
+                )
+                pending.append(losses)
             self._drain_metrics(train_metrics, pending)
             self._display_metrics(train_metrics, train_bar)
 
@@ -315,19 +346,35 @@ class CycleGan:
             return
         for values in jax.device_get(pending):
             for name in metrics_dict:
-                value = float(values[name])
-                if self.nan_check and not np.isfinite(value):
-                    raise FloatingPointError(
-                        f"metric {name} went non-finite ({value}) at step "
-                        f"{int(self.state.step)} — training diverged"
-                    )
-                metrics_dict[name].update_state(value)
+                flat = np.atleast_1d(np.asarray(values[name], np.float64))
+                for value in flat:  # multi-step chunks carry K values
+                    if self.nan_check and not np.isfinite(value):
+                        raise FloatingPointError(
+                            f"metric {name} went non-finite ({value}) at "
+                            f"step {int(self.state.step)} — training diverged"
+                        )
+                    metrics_dict[name].update_state(float(value))
         pending.clear()
 
     @staticmethod
     def _display_metrics(metrics_dict, progress_bar) -> None:
         evaluated = {k: str(v.result())[:7] for k, v in metrics_dict.items()}
         progress_bar.set_postfix(**evaluated)
+
+    def _run_chunk(self, chunk):
+        """Stack K batch pairs and run them as one lax.scan dispatch."""
+        stack_a = np.stack([a for a, _ in chunk])
+        stack_b = np.stack([b for _, b in chunk])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(None, "data"))
+            stack_a = jax.device_put(stack_a, sharding)
+            stack_b = jax.device_put(stack_b, sharding)
+        self.state, stacked = self.multi_step_fn(
+            self.state, jnp.asarray(stack_a), jnp.asarray(stack_b)
+        )
+        return stacked
 
     def _put(self, images_a, images_b):
         if self.mesh is None:

@@ -231,3 +231,40 @@ def test_train_step_with_batchnorm_updates_state(batch):
         new_state.model_state["g_AB"]["down"][0][0]["norm"]["moving_var"]
     )
     assert not np.allclose(before, after)
+
+
+def test_multi_step_matches_sequential(batch):
+    """lax.scan K-step trainer must produce the same state/metrics as K
+    sequential single steps."""
+    from cyclegan_tpu.steps import make_train_multi_step
+
+    models = build_models()
+    state, optimizers = build_state(models)
+    single = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                             donate=False)
+    multi = make_train_multi_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                                  donate=False)
+    real_a, real_b = batch
+    K = 3
+    stack_a = jnp.stack([real_a + 0.01 * i for i in range(K)])
+    stack_b = jnp.stack([real_b - 0.01 * i for i in range(K)])
+
+    seq_state = state
+    seq_metrics = []
+    for i in range(K):
+        seq_state, m = single(seq_state, stack_a[i], stack_b[i])
+        seq_metrics.append(m)
+
+    multi_state, stacked = multi(state, stack_a, stack_b)
+
+    for i in range(K):
+        for key in seq_metrics[i]:
+            assert float(stacked[key][i]) == pytest.approx(
+                float(seq_metrics[i][key]), abs=1e-5
+            ), (i, key)
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(seq_state.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(multi_state.params))
+    # scanned vs unrolled compilations reassociate float ops; early adam
+    # steps (tiny second moments) amplify that to ~1e-5
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+    assert int(multi_state.step) == K

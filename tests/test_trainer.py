@@ -181,3 +181,15 @@ def test_trainer_with_mesh_runs(tmp_path):
     train_ds, val_ds = tiny_dataset()
     gan.train(train_ds, val_ds)
     assert (tmp_path / "tiny" / CHECKPOINT_FILE).exists()
+
+
+def test_trainer_steps_per_call(tmp_path):
+    """Multi-step dispatch path trains and checkpoints like the default."""
+    cfg = tiny_train_config(epochs=1, batch_size=2)
+    cfg.steps_per_call = 2
+    gan = CycleGan(tiny_model_config(tmp_path), cfg)
+    train_ds, val_ds = tiny_dataset(n=6)
+    gan.train(train_ds, val_ds)
+    # 3 train batches -> one chunk of 2 + ragged tail of 1; all 3 steps ran
+    assert int(gan.state.step) == 3
+    assert (tmp_path / "tiny" / CHECKPOINT_FILE).exists()
