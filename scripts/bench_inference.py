@@ -49,10 +49,8 @@ def main():
         start = time.perf_counter()
         y = x
         for _ in range(iters):
-            out = stylize(params, y.astype(np.uint8) if isinstance(y, np.ndarray)
-                          else out)
-            y = out  # chain output->input (uint8 in/out)
-        _ = np.asarray(out[0, 0, 0])
+            y = stylize(params, y)  # uint8 in / uint8 out -> chainable
+        _ = np.asarray(y[0, 0, 0])
         return time.perf_counter() - start
 
     # single image p50 end-to-end (fresh dispatch + fetch each time)
