@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

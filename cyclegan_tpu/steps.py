@@ -26,7 +26,6 @@ implementation.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax

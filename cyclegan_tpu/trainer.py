@@ -32,7 +32,6 @@ from cyclegan_tpu.models import create_model
 from cyclegan_tpu.optimizers import get_optimizer
 from cyclegan_tpu.parallel import replicate, shard_batch
 from cyclegan_tpu.steps import (
-    NETWORKS,
     init_train_state,
     make_train_step,
     make_validate_step,
