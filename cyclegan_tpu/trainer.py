@@ -385,13 +385,17 @@ class CycleGan:
     # ------------------------------------------------------------------
 
     def save_model(self) -> None:
-        """Persist the full TrainState + fixed sample images."""
+        """Persist the full TrainState + fixed sample images + configs
+        (the shipped reference artifact carries both configs,
+        model_instances/model/{model,train}_config.yaml)."""
         folder = Path(self.model_folder)
         folder.mkdir(parents=True, exist_ok=True)
         save_pytree(folder / CHECKPOINT_FILE, jax.device_get(self.state))
         if self.a_samples is not None:
             np.save(folder / "a_samples.npy", self.a_samples)
             np.save(folder / "b_samples.npy", self.b_samples)
+        namespace2yaml(str(folder / "model_config.yaml"), self.model_config)
+        namespace2yaml(str(folder / "train_config.yaml"), self.train_config)
 
     def load_model(self) -> None:
         """Restore params, optimizer slots, rng, step and samples."""

@@ -42,6 +42,9 @@ def synthetic_domains(n=32, size=64, seed=0):
 
 
 def main():
+    from cyclegan_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     from cyclegan_tpu.config import Namespace
     from cyclegan_tpu.data.pipeline import ArrayDataset
     from cyclegan_tpu.trainer import CycleGan

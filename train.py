@@ -57,6 +57,9 @@ def parse_arguments():
 def main():
     args = parse_arguments()
 
+    from cyclegan_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
     import jax
 
     from cyclegan_tpu.config import yaml2namespace
