@@ -268,3 +268,24 @@ def test_multi_step_matches_sequential(batch):
     # steps (tiny second moments) amplify that to ~1e-5
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
     assert int(multi_state.step) == K
+
+
+def test_golden_metrics_fixed_seed(batch):
+    """Regression guard: fixed seed 0 models + fixed batch must reproduce
+    these values exactly (any numerics change in ops/models/losses
+    surfaces here)."""
+    models = build_models()
+    state, _ = build_state(models)
+    validate_step = make_validate_step(models, "mse", LOSS_WEIGHTS)
+    real_a, real_b = batch
+    metrics = validate_step(state, real_a, real_b)
+    golden = {
+        "dA_acc": 0.500000,
+        "dA_loss": 0.498304,
+        "dB_acc": 0.500000,
+        "dB_loss": 0.499462,
+        "gAB_loss": 3.867987,
+        "gBA_loss": 3.855847,
+    }
+    for key, value in golden.items():
+        assert float(metrics[key]) == pytest.approx(value, abs=2e-4), key
