@@ -89,6 +89,7 @@ class CycleGan:
         # steps_per_call > 1 runs K optimizer steps per dispatch via
         # lax.scan — amortizes host round-trips (dominant on tunneled TPUs).
         self.steps_per_call = int(train_config.get("steps_per_call", 1))
+        self.remat = bool(train_config.get("remat", False))
         if bool(train_config.get("pallas_norm", False)):
             from cyclegan_tpu.ops import pallas_norm
 
@@ -132,6 +133,7 @@ class CycleGan:
             preprocess=train_preprocess,
             mesh=mesh,
             compute_dtype=self.compute_dtype,
+            remat=self.remat,
         )
         self.multi_step_fn = None
         if self.steps_per_call > 1:
@@ -145,6 +147,7 @@ class CycleGan:
                 preprocess=train_preprocess,
                 mesh=mesh,
                 compute_dtype=self.compute_dtype,
+                remat=self.remat,
             )
         self.validate_step_fn = make_validate_step(
             self.models,
