@@ -95,3 +95,47 @@ def test_export_records(tmp_path, trained_model_dir):
     assert len(written) == 5
     decoded = cv2.imread(str(written[0]), cv2.IMREAD_COLOR)
     assert decoded.shape == (16, 16, 3)
+
+
+def test_http_server(trained_model_dir):
+    """Spin the stdlib inference server on an ephemeral port and round-trip
+    a stylization request."""
+    import io
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import cv2
+
+    from cyclegan_tpu.apps.inference import InferenceSession
+    from cyclegan_tpu.apps.server import make_handler
+
+    session = InferenceSession(trained_model_dir)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(session, size=16))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz"
+        ) as response:
+            assert response.read() == b"ok"
+
+        rng = np.random.default_rng(6)
+        bgr = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        ok, png = cv2.imencode(".png", bgr)
+        assert ok
+        request = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stylize?direction=a2b",
+            data=png.tobytes(),
+            method="POST",
+        )
+        with urllib.request.urlopen(request) as response:
+            assert response.headers["Content-Type"] == "image/png"
+            out = cv2.imdecode(
+                np.frombuffer(response.read(), np.uint8), cv2.IMREAD_COLOR
+            )
+        assert out.shape == (16, 16, 3)
+    finally:
+        server.shutdown()
