@@ -31,7 +31,8 @@ REFERENCE_GPU_IMAGES_PER_SEC = 2.5
 
 
 def build_step(batch_size: int, image_size: int, compute_dtype: str,
-               model_config_path: str = "configs/cycle.yaml"):
+               model_config_path: str = "configs/cycle.yaml",
+               remat: bool = False):
     import jax
 
     from cyclegan_tpu.config import yaml2namespace
@@ -73,6 +74,7 @@ def build_step(batch_size: int, image_size: int, compute_dtype: str,
         preprocess=preprocess,
         mesh=mesh,
         compute_dtype=compute_dtype,
+        remat=remat,
     )
     state = replicate(
         mesh, init_train_state(jax.random.PRNGKey(0), models, optimizers)
@@ -122,6 +124,9 @@ def main():
                         "configs/resnet.yaml for the canonical recipe)")
     parser.add_argument("--pallas", action="store_true",
                         help="route instance norm through the Pallas kernel")
+    parser.add_argument("--remat", action="store_true",
+                        help="jax.checkpoint the generator forwards "
+                        "(fits larger batches in HBM)")
     args = parser.parse_args()
 
     if args.pallas:
@@ -130,7 +135,8 @@ def main():
         pallas_norm.enable(True)
 
     train_step, state, real_a, real_b, n_devices = build_step(
-        args.batch, args.image_size, args.dtype, args.model_config
+        args.batch, args.image_size, args.dtype, args.model_config,
+        remat=args.remat,
     )
 
     short = max(2, args.warmup)
@@ -151,6 +157,7 @@ def main():
                     f"{args.image_size}px_b{args.batch}_{args.dtype}"
                     + ("_resnet" if "resnet" in str(args.model_config) else "")
                     + ("_pallas" if args.pallas else "")
+                    + ("_remat" if args.remat else "")
                 ),
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",
