@@ -274,6 +274,10 @@ class CycleGan:
             self._write_summaries(self.val_summaries, e, val_metrics)
 
             if e % save_model_every == 0:
+                # record the epoch with every periodic save so a crash
+                # resumes from the right epoch (restart-safe counter,
+                # SURVEY.md §5 — the reference only writes it at train end)
+                self.model_config.current_epoch = e + 1
                 self.save_model()
 
         self.model_config.current_epoch = current_epoch + epochs
