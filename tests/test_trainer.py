@@ -193,3 +193,59 @@ def test_trainer_steps_per_call(tmp_path):
     # 3 train batches -> one chunk of 2 + ragged tail of 1; all 3 steps ran
     assert int(gan.state.step) == 3
     assert (tmp_path / "tiny" / CHECKPOINT_FILE).exists()
+
+
+def test_multi_step_data_parallel_matches(tmp_path):
+    """lax.scan multi-step over the 8-device mesh == sequential single
+    steps on one device (the scan x SPMD interaction)."""
+    from cyclegan_tpu.models import create_model
+    from cyclegan_tpu.optimizers import get_optimizer
+    from cyclegan_tpu.parallel import replicate
+    from cyclegan_tpu.steps import (
+        NETWORKS,
+        init_train_state,
+        make_train_multi_step,
+        make_train_step,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    model_config = tiny_model_config(tmp_path)
+    models = {
+        "g_AB": create_model(model_config.generator),
+        "g_BA": create_model(model_config.generator),
+        "d_A": create_model(model_config.discriminator),
+        "d_B": create_model(model_config.discriminator),
+    }
+    optimizers = {
+        name: get_optimizer(dict(name="adam", learning_rate=2e-4, beta_1=0.5))
+        for name in NETWORKS
+    }
+    state = init_train_state(jax.random.PRNGKey(0), models, optimizers)
+    weights = dict(cycle=2.0, identity=0.5, generator=1.0, discriminator=0.5)
+
+    K = 2
+    stack_a = jnp.asarray(
+        RNG.uniform(-1, 1, size=(K, 8, 16, 16, 3)).astype(np.float32))
+    stack_b = jnp.asarray(
+        RNG.uniform(-1, 1, size=(K, 8, 16, 16, 3)).astype(np.float32))
+
+    single = make_train_step(models, optimizers, "mse", weights, donate=False)
+    seq_state = state
+    for i in range(K):
+        seq_state, seq_m = single(seq_state, stack_a[i], stack_b[i])
+
+    mesh = create_mesh(8)
+    multi = make_train_multi_step(models, optimizers, "mse", weights,
+                                  donate=False, mesh=mesh)
+    sharded = NamedSharding(mesh, P(None, "data"))
+    mp_state, stacked = multi(
+        replicate(mesh, state),
+        jax.device_put(stack_a, sharded),
+        jax.device_put(stack_b, sharded),
+    )
+    for key in seq_m:
+        assert float(stacked[key][-1]) == pytest.approx(
+            float(seq_m[key]), abs=1e-5), key
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(seq_state.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(mp_state.params))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
