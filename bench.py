@@ -32,7 +32,7 @@ REFERENCE_GPU_IMAGES_PER_SEC = 2.5
 
 def build_step(batch_size: int, image_size: int, compute_dtype: str,
                model_config_path: str = "configs/cycle.yaml",
-               remat: bool = False):
+               remat: bool = False, paired: bool = False):
     import jax
 
     from cyclegan_tpu.config import yaml2namespace
@@ -75,6 +75,7 @@ def build_step(batch_size: int, image_size: int, compute_dtype: str,
         mesh=mesh,
         compute_dtype=compute_dtype,
         remat=remat,
+        paired=paired,
     )
     state = replicate(
         mesh, init_train_state(jax.random.PRNGKey(0), models, optimizers)
@@ -127,6 +128,9 @@ def main():
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the generator forwards "
                         "(fits larger batches in HBM)")
+    parser.add_argument("--paired", action="store_true",
+                        help="run twin networks as vmapped pairs "
+                        "(grouped convs, doubled channel width)")
     args = parser.parse_args()
 
     if args.pallas:
@@ -136,7 +140,7 @@ def main():
 
     train_step, state, real_a, real_b, n_devices = build_step(
         args.batch, args.image_size, args.dtype, args.model_config,
-        remat=args.remat,
+        remat=args.remat, paired=args.paired,
     )
 
     short = max(2, args.warmup)
@@ -158,6 +162,7 @@ def main():
                     + ("_resnet" if "resnet" in str(args.model_config) else "")
                     + ("_pallas" if args.pallas else "")
                     + ("_remat" if args.remat else "")
+                    + ("_paired" if args.paired else "")
                 ),
                 "value": round(per_chip, 2),
                 "unit": "images/sec/chip",

@@ -236,6 +236,124 @@ def _batch_shardings(mesh, axis: str):
     return replicated, batch
 
 
+def _forward_losses_paired(
+    params: Dict[str, Any],
+    model_state: Dict[str, Any],
+    models: Mapping[str, Model],
+    loss_obj: Callable,
+    loss_weights: Mapping[str, float],
+    real_a: jnp.ndarray,
+    real_b: jnp.ndarray,
+    train: bool,
+    rng: Optional[jax.Array],
+    stop_grads: bool,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
+    """Paired-twin variant of :func:`_forward_losses`.
+
+    g_AB/g_BA (and d_A/d_B) share an architecture, so each *pair* of
+    applications runs as ONE ``jax.vmap`` call over stacked params — XLA
+    lowers this to grouped convolutions with doubled channels, halving the
+    128-lane padding waste that dominates this model family's MXU
+    utilization. Identical math to the unpaired path (stacking is linear;
+    verified in tests/test_steps.py::test_paired_forward_matches), but
+    requires stateless models (instance norm, the default) — the trainer
+    falls back to the unpaired path for batch-norm configs.
+
+    The generator dependency chain forces three paired rounds:
+      round 1: [g_AB(real_a), g_BA(real_b)] -> [fake_b, fake_a]
+      round 2: [g_AB(fake_a), g_BA(fake_b)] -> [cycled_b, cycled_a]
+      round 3: [g_AB(real_b), g_BA(real_a)] -> [same_b, same_a]
+    and the discriminators two paired calls (real view + fake view, with
+    the same stop-gradient structure as the unpaired step).
+    """
+    sg = jax.lax.stop_gradient if stop_grads else (lambda x: x)
+    if compute_dtype != jnp.float32:
+        params = _cast_floats(params, compute_dtype)
+        real_a_net = real_a.astype(compute_dtype)
+        real_b_net = real_b.astype(compute_dtype)
+    else:
+        real_a_net, real_b_net = real_a, real_b
+
+    stack = lambda t1, t2: jax.tree_util.tree_map(  # noqa: E731
+        lambda a, b: jnp.stack([a, b]), t1, t2
+    )
+    pg = stack(params["g_AB"], params["g_BA"])
+    pd = stack(params["d_A"], params["d_B"])
+
+    g_model, d_model = models["g_AB"], models["d_A"]
+    # stateless (instance-norm) models: the state trees carry no arrays but
+    # must keep their structure for apply; identical across the twin pair
+    g_state = model_state["g_AB"]
+    d_state = model_state["d_A"]
+
+    def g_apply(p, x, r):
+        y, _ = g_model.apply(p, g_state, x, train=train, rng=r)
+        return y
+
+    if remat:
+        g_apply = jax.checkpoint(g_apply)
+
+    def d_apply(p, x):
+        y, _ = d_model.apply(p, d_state, x, train=train)
+        return y
+
+    vg = jax.vmap(g_apply, in_axes=(0, 0, 0 if rng is not None else None))
+    vd = jax.vmap(d_apply, in_axes=(0, 0))
+
+    rngs = jax.random.split(rng, 6).reshape(3, 2, -1) if rng is not None \
+        else [None] * 3
+
+    r1 = vg(pg, jnp.stack([real_a_net, real_b_net]), rngs[0])
+    fake_b, fake_a = r1[0], r1[1]
+    r2 = vg(pg, jnp.stack([fake_a, fake_b]), rngs[1])
+    cycled_b, cycled_a = r2[0], r2[1]
+    r3 = vg(pg, jnp.stack([real_b_net, real_a_net]), rngs[2])
+    same_b, same_a = r3[0], r3[1]
+
+    fakes = jnp.stack([fake_a, fake_b])
+    d_real = vd(pd, jnp.stack([real_a_net, real_b_net]))
+    d_fake_gen = vd(sg(pd), fakes)
+    d_fake_d = vd(pd, sg(fakes))
+    disc_real_a, disc_real_b = d_real[0], d_real[1]
+    disc_fake_a_gen, disc_fake_b_gen = d_fake_gen[0], d_fake_gen[1]
+    disc_fake_a_d, disc_fake_b_d = d_fake_d[0], d_fake_d[1]
+
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    cycled_a, cycled_b = f32(cycled_a), f32(cycled_b)
+    same_a, same_b = f32(same_a), f32(same_b)
+    disc_fake_a_gen, disc_fake_b_gen = f32(disc_fake_a_gen), f32(disc_fake_b_gen)
+    disc_real_a, disc_real_b = f32(disc_real_a), f32(disc_real_b)
+    disc_fake_a_d, disc_fake_b_d = f32(disc_fake_a_d), f32(disc_fake_b_d)
+
+    w = loss_weights
+    gAB_adv = generator_loss(disc_fake_b_gen, loss_obj, w["generator"])
+    gBA_adv = generator_loss(disc_fake_a_gen, loss_obj, w["generator"])
+    total_cycle_loss = calc_cycle_loss(real_a, cycled_a, w["cycle"]) + calc_cycle_loss(
+        real_b, cycled_b, w["cycle"]
+    )
+    id_a = identity_loss(real_a, same_a, w["identity"])
+    id_b = identity_loss(real_b, same_b, w["identity"])
+    total_gAB_loss = gAB_adv + total_cycle_loss + id_b
+    total_gBA_loss = gBA_adv + total_cycle_loss + id_a
+    da_loss = discriminator_loss(disc_real_a, disc_fake_a_d, loss_obj,
+                                 w["discriminator"])
+    db_loss = discriminator_loss(disc_real_b, disc_fake_b_d, loss_obj,
+                                 w["discriminator"])
+    surrogate = gAB_adv + gBA_adv + total_cycle_loss + id_a + id_b + da_loss + db_loss
+
+    metrics = dict(
+        gAB_loss=total_gAB_loss,
+        gBA_loss=total_gBA_loss,
+        dA_loss=da_loss,
+        dB_loss=db_loss,
+        dA_acc=accuracy(disc_real_a, disc_fake_a_d),
+        dB_acc=accuracy(disc_real_b, disc_fake_b_d),
+    )
+    return surrogate, metrics, model_state
+
+
 def make_validate_step(
     models: Mapping[str, Model],
     loss_name: str,
@@ -296,6 +414,7 @@ def make_train_step(
     mesh_axis: str = "data",
     compute_dtype: str = "float32",
     remat: bool = False,
+    paired: bool = False,
 ) -> Callable:
     """Build the jitted train step: one forward set, ONE backward pass,
     four optimizer updates (reference: train_step, cyclegan/model.py:136-154).
@@ -318,20 +437,36 @@ def make_train_step(
     cdtype = jnp.dtype(compute_dtype)
 
     def loss_fn(params, model_state, real_a, real_b, rng):
-        surrogate, metrics, new_model_state = _forward_losses(
-            params,
-            model_state,
-            models,
-            loss_obj,
-            weights,
-            real_a,
-            real_b,
-            train=True,
-            rng=rng,
-            stop_grads=True,
-            compute_dtype=cdtype,
-            remat=remat,
-        )
+        if paired:
+            surrogate, metrics, new_model_state = _forward_losses_paired(
+                params,
+                model_state,
+                models,
+                loss_obj,
+                weights,
+                real_a,
+                real_b,
+                train=True,
+                rng=rng,
+                stop_grads=True,
+                compute_dtype=cdtype,
+                remat=remat,
+            )
+        else:
+            surrogate, metrics, new_model_state = _forward_losses(
+                params,
+                model_state,
+                models,
+                loss_obj,
+                weights,
+                real_a,
+                real_b,
+                train=True,
+                rng=rng,
+                stop_grads=True,
+                compute_dtype=cdtype,
+                remat=remat,
+            )
         return surrogate, (metrics, new_model_state)
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
@@ -344,6 +479,8 @@ def make_train_step(
         grads, (metrics, new_model_state) = grad_fn(
             state.params, state.model_state, real_a, real_b, step_rng
         )
+        if paired:  # stateless models; keep existing (empty) state trees
+            new_model_state = state.model_state
         new_params = {}
         new_opt_state = {}
         for name in NETWORKS:

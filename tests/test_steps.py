@@ -289,3 +289,34 @@ def test_golden_metrics_fixed_seed(batch):
     }
     for key, value in golden.items():
         assert float(metrics[key]) == pytest.approx(value, abs=2e-4), key
+
+
+def test_paired_forward_matches(batch):
+    """The vmapped paired-twin step must be numerics-identical to the
+    regular step (same grads, same metrics) for stateless models."""
+    # paired path requires identical generator/discriminator architectures;
+    # use unet discriminators so d_A/d_B match too
+    disc = dict(
+        filters=[4, 4], kernels=[3, 3], output_channels=1,
+        expansion="upsample", normalization="instancenorm", dropout=False,
+        final_activation="sigmoid",
+    )
+    models = {
+        "g_AB": unet_generator(GEN_CFG),
+        "g_BA": unet_generator(GEN_CFG),
+        "d_A": unet_generator(disc),
+        "d_B": unet_generator(disc),
+    }
+    state, optimizers = build_state(models)
+    base = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                           donate=False)
+    paired = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                             donate=False, paired=True)
+    real_a, real_b = batch
+    s1, m1 = base(state, real_a, real_b)
+    s2, m2 = paired(state, real_a, real_b)
+    for key in m1:
+        assert float(m1[key]) == pytest.approx(float(m2[key]), abs=1e-5), key
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
