@@ -522,6 +522,7 @@ def make_train_multi_step(
     mesh_axis: str = "data",
     compute_dtype: str = "float32",
     remat: bool = False,
+    paired: bool = False,
 ) -> Callable:
     """Build a jitted K-step trainer: ``(state, real_a, real_b) ->
     (state, stacked_metrics)`` where the batch leading dim is the step
@@ -535,7 +536,7 @@ def make_train_multi_step(
     single = make_train_step(
         models, optimizers, loss_name, loss_weights,
         donate=False, preprocess=preprocess, mesh=None,
-        compute_dtype=compute_dtype, remat=remat,
+        compute_dtype=compute_dtype, remat=remat, paired=paired,
     )
     # un-jitted body: reuse the single-step computation inside the scan
     inner = single.__wrapped__
