@@ -173,3 +173,24 @@ def test_augmentation_semantics():
 
     ev = np.asarray(prepare_eval_batch(batch))
     np.testing.assert_allclose(ev, normalized, atol=1e-6)
+
+
+def test_python_reader_crc_detects_corruption(tmp_path):
+    path = tmp_path / "corrupt.tfrecords"
+    write_tfrecord_file(path, [b"payload-one", b"payload-two" * 20])
+    data = bytearray(path.read_bytes())
+    data[-10] ^= 0xFF  # flip a bit in the second record's payload
+    path.write_bytes(bytes(data))
+    with pytest.raises(IOError):
+        list(read_tfrecord_file(path, verify_crc=True))
+    # without verification the (corrupt) bytes still stream
+    records = list(read_tfrecord_file(path, verify_crc=False))
+    assert len(records) == 2
+
+
+def test_python_reader_truncation(tmp_path):
+    path = tmp_path / "trunc.tfrecords"
+    write_tfrecord_file(path, [b"x" * 100])
+    path.write_bytes(path.read_bytes()[:50])
+    with pytest.raises(IOError):
+        list(read_tfrecord_file(path))
