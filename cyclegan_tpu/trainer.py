@@ -366,6 +366,7 @@ class CycleGan:
     def _display_metrics(metrics_dict, progress_bar) -> None:
         evaluated = {k: str(v.result())[:7] for k, v in metrics_dict.items()}
         progress_bar.set_postfix(**evaluated)
+        progress_bar.refresh()  # re-render after end-of-epoch drains
 
     def _run_chunk(self, chunk):
         """Stack K batch pairs and run them as one lax.scan dispatch."""
