@@ -6,6 +6,12 @@ bilinear resize, multithreaded in C++. The pipeline
 (:mod:`cyclegan_tpu.data.pipeline`) uses it when available and silently
 falls back to the Python/cv2 path otherwise; the library is auto-built on
 first use when a toolchain is present.
+
+Measured (scripts/bench_loader.py, 1-core host): numerically equivalent to
+the cv2 path within 1 pixel-level rounding unit; comparable single-core
+throughput (native additionally CRC32C-verifies every record). The native
+path's thread pool scales GIL-free on many-core production hosts, where
+host-side ingestion is the TPU-feeding bottleneck.
 """
 
 from __future__ import annotations

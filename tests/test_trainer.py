@@ -249,3 +249,16 @@ def test_multi_step_data_parallel_matches(tmp_path):
     p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(seq_state.params))
     p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(mp_state.params))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
+
+
+def test_trainer_mesh_with_steps_per_call(tmp_path):
+    """Trainer path combining the data-parallel mesh with lax.scan
+    multi-step dispatch (stacked batches sharded as (K, B@data, ...))."""
+    mesh = create_mesh(2)
+    cfg = tiny_train_config(epochs=1, batch_size=2)
+    cfg.steps_per_call = 2
+    gan = CycleGan(tiny_model_config(tmp_path), cfg, mesh=mesh)
+    train_ds, val_ds = tiny_dataset(n=6)
+    gan.train(train_ds, val_ds)
+    assert int(gan.state.step) == 3
+    assert (tmp_path / "tiny" / CHECKPOINT_FILE).exists()
