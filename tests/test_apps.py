@@ -139,3 +139,60 @@ def test_http_server(trained_model_dir):
         assert out.shape == (16, 16, 3)
     finally:
         server.shutdown()
+
+
+def test_petfinder_url_extraction(monkeypatch):
+    """get_photo_urls parses the Petfinder v2 payload and paginates
+    (reference: flows/petfinder.py:13-23 via petpy, reimplemented on the
+    REST API)."""
+    import io
+    import json
+    import urllib.request
+
+    from cyclegan_tpu.apps import flows
+
+    pages = {
+        1: dict(
+            animals=[
+                dict(photos=[dict(large="http://x/1.jpg"),
+                             dict(medium="http://x/skip.jpg")]),
+                dict(photos=[dict(large="http://x/2.jpg")]),
+            ],
+            pagination={"_links": {"next": "/v2/animals?page=2"}},
+        ),
+        2: dict(
+            animals=[dict(photos=[dict(large="http://x/3.jpg")])],
+            pagination={"_links": {}},
+        ),
+    }
+
+    def fake_urlopen(request, *args, **kwargs):
+        url = request.full_url if hasattr(request, "full_url") else request
+        page = int(url.split("page=")[1].split("&")[0]) if "page=" in url else 1
+        assert "Bearer token123" in request.headers.get("Authorization", "")
+        return io.BytesIO(json.dumps(pages[page]).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    urls = flows.get_photo_urls("token123", "Tabby", pages=5)
+    assert urls == ["http://x/1.jpg", "http://x/2.jpg", "http://x/3.jpg"]
+
+
+def test_download_photos_skips_failures(monkeypatch, tmp_path):
+    import urllib.request
+
+    from cyclegan_tpu.apps import flows
+
+    def fake_retrieve(url, path):
+        if "bad" in url:
+            raise OSError("boom")
+        from pathlib import Path
+
+        Path(path).write_bytes(b"img")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    count = flows.download_photos(
+        ["http://x/ok1.jpg", "http://x/bad.jpg", "http://x/ok2.jpg"],
+        tmp_path, "Tabby", workers=2,
+    )
+    assert count == 2
+    assert len(list((tmp_path / "Tabby").glob("*.png"))) == 2
