@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import os
-from typing import List, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 
@@ -101,7 +101,7 @@ class ArrayDataset:
 
     def batches(
         self, batch_size: int, epoch: int = 0, drop_remainder: bool = True
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield (a, b) uint8 batch pairs for one epoch.
 
         ``drop_remainder=True`` keeps batch shapes static for jit (the
