@@ -78,6 +78,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int,
     ]
+    if hasattr(lib, "tfr_write_domain"):
+        lib.tfr_write_domain.restype = ctypes.c_long
+        lib.tfr_write_domain.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
     _lib = lib
     return _lib
 
@@ -126,3 +136,32 @@ def load_domain_native(
         logger.warning("native decode failed; falling back to python")
         return None
     return out[:decoded]
+
+
+def write_domain_native(
+    image_paths: Sequence[str],
+    out_dir,
+    image_size: Optional[int] = None,
+    shard_size: int = 800,
+    n_threads: int = 0,
+) -> Optional[int]:
+    """Encode image files into TFRecord shards via the C++ writer
+    (decode -> optional resize -> PNG encode -> Example proto -> framed
+    shards, parallel per image). Returns the number of images written, or
+    None when the native path is unavailable/failed (caller falls back)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "tfr_write_domain") or not image_paths:
+        return None
+    paths = _paths_array([str(p) for p in image_paths])
+    written = lib.tfr_write_domain(
+        paths,
+        len(image_paths),
+        str(out_dir).encode(),
+        int(image_size or 0),
+        int(shard_size),
+        int(n_threads),
+    )
+    if written < 0:
+        logger.warning("native writer failed; falling back to python")
+        return None
+    return int(written)

@@ -86,6 +86,7 @@ def tfrecord_writer(
     image_size: Optional[int] = None,
     shard_size: int = 800,
     seed: Optional[int] = None,
+    use_native: bool = True,
 ) -> List[Path]:
     """Shard a directory of images into ``NNNNN.tfrecords`` files.
 
@@ -104,6 +105,16 @@ def tfrecord_writer(
 
     target = Path(target)
     target.mkdir(parents=True, exist_ok=True)
+
+    if use_native:
+        from cyclegan_tpu.data.native import write_domain_native
+
+        written = write_domain_native(
+            [str(p) for p in images], target, image_size, shard_size
+        )
+        if written is not None:
+            logger.info("native writer: %d images", written)
+            return sorted(target.glob("*.tfrecords"))
 
     shard_paths: List[Path] = []
     for i in range(0, len(images), shard_size):

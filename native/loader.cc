@@ -402,3 +402,214 @@ long tfr_decode_domain(const char** paths, int n_paths, int width,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Writer side: image files -> Example protos -> TFRecord shards.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// PNG encode RGB8 -> memory (libpng write callbacks into a vector).
+void png_write_fn(png_structp png, png_bytep data, png_size_t n) {
+  auto* out = static_cast<std::vector<uint8_t>*>(png_get_io_ptr(png));
+  out->insert(out->end(), data, data + n);
+}
+void png_flush_fn(png_structp) {}
+
+bool encode_png_rgb(const uint8_t* rgb, int w, int h,
+                    std::vector<uint8_t>* out) {
+  png_structp png =
+      png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    return false;
+  }
+  out->clear();
+  png_set_write_fn(png, out, png_write_fn, png_flush_fn);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  std::vector<png_bytep> rows(h);
+  for (int r = 0; r < h; ++r)
+    rows[r] = const_cast<uint8_t*>(rgb) + size_t(r) * w * 3;
+  png_write_image(png, rows.data());
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  return true;
+}
+
+// Minimal protobuf encoding (schema in cyclegan_tpu/data/example_proto.py).
+void put_varint(std::vector<uint8_t>* out, uint64_t v) {
+  while (true) {
+    uint8_t byte = v & 0x7f;
+    v >>= 7;
+    if (v) {
+      out->push_back(byte | 0x80);
+    } else {
+      out->push_back(byte);
+      return;
+    }
+  }
+}
+
+void put_len_delimited(std::vector<uint8_t>* out, uint32_t field,
+                       const uint8_t* data, size_t n) {
+  put_varint(out, (field << 3) | 2);
+  put_varint(out, n);
+  out->insert(out->end(), data, data + n);
+}
+
+void put_bytes_feature_entry(std::vector<uint8_t>* out, const char* key,
+                             const std::vector<uint8_t>& value) {
+  std::vector<uint8_t> bytes_list;
+  put_len_delimited(&bytes_list, 1, value.data(), value.size());
+  std::vector<uint8_t> feature;
+  put_len_delimited(&feature, 1, bytes_list.data(), bytes_list.size());
+  std::vector<uint8_t> entry;
+  put_len_delimited(&entry, 1, reinterpret_cast<const uint8_t*>(key),
+                    strlen(key));
+  put_len_delimited(&entry, 2, feature.data(), feature.size());
+  put_len_delimited(out, 1, entry.data(), entry.size());
+}
+
+void put_int64_feature_entry(std::vector<uint8_t>* out, const char* key,
+                             int64_t value) {
+  std::vector<uint8_t> packed;
+  put_varint(&packed, uint64_t(value));
+  std::vector<uint8_t> int_list;
+  put_len_delimited(&int_list, 1, packed.data(), packed.size());
+  std::vector<uint8_t> feature;
+  put_len_delimited(&feature, 3, int_list.data(), int_list.size());
+  std::vector<uint8_t> entry;
+  put_len_delimited(&entry, 1, reinterpret_cast<const uint8_t*>(key),
+                    strlen(key));
+  put_len_delimited(&entry, 2, feature.data(), feature.size());
+  put_len_delimited(out, 1, entry.data(), entry.size());
+}
+
+bool read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (size < 0) {
+    fclose(f);
+    return false;
+  }
+  out->resize(size_t(size));
+  bool ok = size == 0 || fread(out->data(), 1, size_t(size), f) == size_t(size);
+  fclose(f);
+  return ok;
+}
+
+bool write_framed_record(FILE* f, const std::vector<uint8_t>& record) {
+  uint8_t header[12];
+  uint64_t length = record.size();
+  memcpy(header, &length, 8);
+  uint32_t len_crc = masked_crc32c(header, 8);
+  memcpy(header + 8, &len_crc, 4);
+  if (fwrite(header, 1, 12, f) != 12) return false;
+  if (!record.empty() &&
+      fwrite(record.data(), 1, record.size(), f) != record.size())
+    return false;
+  uint32_t data_crc = masked_crc32c(record.data(), record.size());
+  return fwrite(&data_crc, 1, 4, f) == 4;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode image files into sharded TFRecords of tf.train.Examples
+// ({image_raw: PNG bytes, height, width, depth}), matching the python
+// writer (cyclegan_tpu/data/tfrecord.py::tfrecord_writer; shard naming
+// %05d.tfrecords). image_size 0 keeps original sizes. Returns the number
+// of images written, or -1 on error.
+long tfr_write_domain(const char** image_paths, int n_paths,
+                      const char* out_dir, int image_size, int shard_size,
+                      int n_threads) {
+  if (shard_size <= 0 || n_paths < 0) return -1;
+
+  // Parallel stage: file -> decode -> resize -> PNG -> Example bytes.
+  std::vector<std::vector<uint8_t>> examples;
+  examples.resize(static_cast<size_t>(n_paths));
+  std::vector<uint8_t> ok_flags;
+  ok_flags.resize(static_cast<size_t>(n_paths), 0);
+  std::atomic<long> next(0);
+
+  auto worker = [&]() {
+    std::vector<uint8_t> file_bytes, decoded, resized, png;
+    while (true) {
+      long idx = next.fetch_add(1);
+      if (idx >= n_paths) return;
+      if (!read_file(image_paths[idx], &file_bytes)) continue;
+      int w = 0, h = 0;
+      if (!decode_png_rgb(file_bytes.data(), file_bytes.size(), &decoded, &w,
+                          &h) &&
+          !decode_jpeg_rgb(file_bytes.data(), file_bytes.size(), &decoded, &w,
+                           &h))
+        continue;
+      const uint8_t* pixels = decoded.data();
+      int out_w = w, out_h = h;
+      if (image_size > 0 && (w != image_size || h != image_size)) {
+        resized.resize(size_t(image_size) * image_size * 3);
+        resize_bilinear_rgb(decoded.data(), w, h, resized.data(), image_size,
+                            image_size);
+        pixels = resized.data();
+        out_w = out_h = image_size;
+      }
+      if (!encode_png_rgb(pixels, out_w, out_h, &png)) continue;
+      std::vector<uint8_t>& example = examples[size_t(idx)];
+      std::vector<uint8_t> features;
+      put_bytes_feature_entry(&features, "image_raw", png);
+      put_int64_feature_entry(&features, "height", out_h);
+      put_int64_feature_entry(&features, "width", out_w);
+      put_int64_feature_entry(&features, "depth", 3);
+      put_len_delimited(&example, 1, features.data(), features.size());
+      ok_flags[size_t(idx)] = 1;
+    }
+  };
+
+  int hw_threads = int(std::thread::hardware_concurrency());
+  if (n_threads <= 0) n_threads = hw_threads > 0 ? hw_threads : 4;
+  if (n_threads > n_paths) n_threads = n_paths > 0 ? n_paths : 1;
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+
+  // Sequential stage: framed shard files, preserving input order.
+  long written = 0;
+  FILE* shard = nullptr;
+  int shard_index = 0, in_shard = 0;
+  for (int i = 0; i < n_paths; ++i) {
+    if (!ok_flags[size_t(i)]) continue;
+    if (!shard) {
+      char path[4096];
+      snprintf(path, sizeof(path), "%s/%05d.tfrecords", out_dir, shard_index);
+      shard = fopen(path, "wb");
+      if (!shard) return -1;
+    }
+    if (!write_framed_record(shard, examples[size_t(i)])) {
+      fclose(shard);
+      return -1;
+    }
+    ++written;
+    if (++in_shard == shard_size) {
+      fclose(shard);
+      shard = nullptr;
+      in_shard = 0;
+      ++shard_index;
+    }
+  }
+  if (shard) fclose(shard);
+  return written;
+}
+
+}  // extern "C"
