@@ -13,6 +13,11 @@ TPU feeding:
   #2) — here a seeded permutation fixes membership once;
 - normalization and augmentation run on device (see
   :mod:`cyclegan_tpu.data.augment`), so batches leave the host as uint8.
+
+Scale note: the decoded cache holds width^2 * 3 bytes per image (a 4k-image
+256^2 dataset ≈ 780 MB — comfortably in host RAM at the reference's data
+scale). Datasets beyond host RAM would need a sharded/streaming variant;
+out of scope for the reference's capability envelope.
 """
 
 from __future__ import annotations
