@@ -214,6 +214,7 @@ class CycleGan:
             )
             pending = []
             chunk = []
+            losses = None
             profiling = bool(self.profile_dir) and e == current_epoch
             if profiling:
                 jax.profiler.start_trace(str(self.profile_dir))
@@ -230,7 +231,8 @@ class CycleGan:
                         self.state, images_a, images_b
                     )
                     pending.append(losses)
-                if profiling and i + 1 >= self.profile_steps:
+                # (losses may still be None mid-chunk on the multi-step path)
+                if profiling and i + 1 >= self.profile_steps and losses is not None:
                     jax.device_get(losses)  # close out the traced steps
                     jax.profiler.stop_trace()
                     profiling = False
@@ -247,6 +249,9 @@ class CycleGan:
                     self.state, images_a, images_b
                 )
                 pending.append(losses)
+            if profiling:  # epoch shorter than profile_steps: close trace
+                jax.profiler.stop_trace()
+                profiling = False
             self._drain_metrics(train_metrics, pending)
             self._display_metrics(train_metrics, train_bar)
 

@@ -262,3 +262,17 @@ def test_trainer_mesh_with_steps_per_call(tmp_path):
     gan.train(train_ds, val_ds)
     assert int(gan.state.step) == 3
     assert (tmp_path / "tiny" / CHECKPOINT_FILE).exists()
+
+
+def test_trainer_profile_with_multi_step(tmp_path):
+    """profile_dir + steps_per_call combination: trace opens/closes cleanly
+    even when the profiler window ends mid-chunk or mid-epoch."""
+    cfg = tiny_train_config(epochs=1, batch_size=2)
+    cfg.steps_per_call = 2
+    cfg.profile_dir = str(tmp_path / "trace")
+    cfg.profile_steps = 1  # triggers before the first chunk completes
+    gan = CycleGan(tiny_model_config(tmp_path), cfg)
+    train_ds, val_ds = tiny_dataset(n=6)
+    gan.train(train_ds, val_ds)
+    assert int(gan.state.step) == 3
+    assert (tmp_path / "trace").exists()
