@@ -114,6 +114,11 @@ def tfrecord_writer(
         )
         if written is not None:
             logger.info("native writer: %d images", written)
+            from cyclegan_tpu.data.manifest import write_manifest
+
+            write_manifest(target, extra=dict(image_size=image_size,
+                                              shard_size=shard_size,
+                                              seed=seed, writer="native"))
             return sorted(target.glob("*.tfrecords"))
 
     shard_paths: List[Path] = []
@@ -130,4 +135,9 @@ def tfrecord_writer(
 
         write_tfrecord_file(record_file, shard_records(images[i : i + shard_size]))
         shard_paths.append(record_file)
+    from cyclegan_tpu.data.manifest import write_manifest
+
+    write_manifest(target, extra=dict(image_size=image_size,
+                                      shard_size=shard_size, seed=seed,
+                                      writer="python"))
     return shard_paths

@@ -194,3 +194,39 @@ def test_python_reader_truncation(tmp_path):
     path.write_bytes(path.read_bytes()[:50])
     with pytest.raises(IOError):
         list(read_tfrecord_file(path))
+
+
+def test_manifest_pins_and_detects_drift(tmp_path):
+    """Data-versioning manifests (the DVC-equivalent capability): written
+    alongside shards, verified against drift."""
+    import cv2
+
+    from cyclegan_tpu.data.manifest import (
+        ManifestMismatch,
+        verify_manifest,
+        write_manifest,
+    )
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(src / f"{i}.png"), random_image())
+    records_dir = tmp_path / "records"
+    shards = tfrecord_writer(src, records_dir, shard_size=2, seed=0)
+    manifest = verify_manifest(records_dir)
+    assert manifest["total_records"] == 4
+    assert set(manifest["files"]) == {p.name for p in shards}
+
+    # content drift
+    data = bytearray(shards[0].read_bytes())
+    data[-1] ^= 0xFF
+    shards[0].write_bytes(bytes(data))
+    with pytest.raises(ManifestMismatch):
+        verify_manifest(records_dir)
+
+    # re-pin, then shard-set drift
+    write_manifest(records_dir)
+    verify_manifest(records_dir)
+    (records_dir / "99999.tfrecords").write_bytes(b"")
+    with pytest.raises(ManifestMismatch):
+        verify_manifest(records_dir)

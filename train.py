@@ -76,8 +76,8 @@ def main():
 
     gan = CycleGan(model_config, training_config, mesh=mesh)
 
-    records_a = sorted(map(str, (args.data_dir / "tabby_records").iterdir()))
-    records_b = sorted(map(str, (args.data_dir / "tortie_records").iterdir()))
+    records_a = sorted(map(str, (args.data_dir / "tabby_records").glob("*.tfrecords")))
+    records_b = sorted(map(str, (args.data_dir / "tortie_records").glob("*.tfrecords")))
     train_ds, val_ds = create_dataset(
         records_a=records_a,
         records_b=records_b,
