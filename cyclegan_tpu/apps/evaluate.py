@@ -1,0 +1,106 @@
+"""Offline evaluation CLI: checkpoint + TFRecords -> validation metrics.
+
+Runs the jitted validate step (the same 6 metrics the trainer logs —
+dA/dB loss, gAB/gBA loss, dA/dB accuracy, cyclegan/model.py:91-134) over a
+dataset split and prints one JSON line. The reference has no standalone
+evaluation entry point; this fills that gap for model selection and
+regression tracking.
+
+    python -m cyclegan_tpu.apps.evaluate --model_dir model_instances/model \
+        --records_a data/tabby_records --records_b data/tortie_records \
+        --batch 8 --split val
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def evaluate(model_dir: Path, records_a, records_b, batch: int = 8,
+             split: str = "val", validation_split: float = 0.2,
+             compute_dtype: str = "float32") -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from cyclegan_tpu.apps.inference import InferenceSession
+    from cyclegan_tpu.data import create_dataset
+    from cyclegan_tpu.data.augment import prepare_eval_batch
+    from cyclegan_tpu.steps import make_validate_step
+    from cyclegan_tpu.utils.metrics import make_metric_dict
+    from cyclegan_tpu.trainer import METRIC_NAMES
+
+    session = InferenceSession(model_dir)
+    width = int(session.model_config.get("image_size", 0)) or None
+    if width is None:
+        # image size lives in the training config; fall back to the saved one
+        train_cfg = Path(model_dir) / "train_config.yaml"
+        if train_cfg.exists():
+            from cyclegan_tpu.config import yaml2namespace
+
+            width = int(yaml2namespace(train_cfg).image_size)
+        else:
+            width = 256
+
+    train_ds, val_ds = create_dataset(records_a, records_b,
+                                      validation_split=validation_split,
+                                      width=width,
+                                      seed=int(session.model_config.get("seed", 0)))
+    dataset = val_ds if split == "val" else train_ds
+
+    validate_step = make_validate_step(
+        session.models,
+        session.model_config.loss,
+        dict(session.model_config.loss_weights),
+        preprocess=prepare_eval_batch,
+        compute_dtype=compute_dtype,
+    )
+    metrics = make_metric_dict(METRIC_NAMES)
+    pending = []
+    for images_a, images_b in dataset.batches(batch, epoch=0):
+        pending.append(
+            validate_step(session.state, jnp.asarray(images_a),
+                          jnp.asarray(images_b))
+        )
+    for values in jax.device_get(pending):
+        for name in metrics:
+            metrics[name].update_state(float(np.asarray(values[name])))
+    result = {name: metric.result() for name, metric in metrics.items()}
+    result["batches"] = len(pending)
+    result["split"] = split
+    return result
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser("cyclegan_tpu evaluation")
+    parser.add_argument("--model_dir", type=Path,
+                        default=Path("model_instances", "model"))
+    parser.add_argument("--records_a", nargs="+", required=True,
+                        help="domain-A shard files or one directory")
+    parser.add_argument("--records_b", nargs="+", required=True)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--split", choices=["val", "train"], default="val")
+    parser.add_argument("--validation_split", type=float, default=0.2)
+    args = parser.parse_args()
+
+    def expand(paths):
+        if len(paths) == 1 and Path(paths[0]).is_dir():
+            return sorted(str(p) for p in Path(paths[0]).glob("*.tfrecords"))
+        return paths
+
+    result = evaluate(args.model_dir, expand(args.records_a),
+                      expand(args.records_b), args.batch, args.split,
+                      args.validation_split)
+    print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                      for k, v in result.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -196,3 +196,31 @@ def test_download_photos_skips_failures(monkeypatch, tmp_path):
     )
     assert count == 2
     assert len(list((tmp_path / "Tabby").glob("*.png"))) == 2
+
+
+def test_evaluate_cli(tmp_path, trained_model_dir):
+    """Offline evaluation: checkpoint + records -> the 6 trainer metrics."""
+    import cv2
+
+    from cyclegan_tpu.apps.evaluate import evaluate
+    from cyclegan_tpu.data import tfrecord_writer
+
+    rng = np.random.default_rng(8)
+    records = {}
+    for domain in ("a", "b"):
+        src = tmp_path / f"imgs_{domain}"
+        src.mkdir()
+        for i in range(6):
+            cv2.imwrite(str(src / f"{i}.png"),
+                        rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8))
+        records[domain] = [
+            str(p) for p in tfrecord_writer(src, tmp_path / f"rec_{domain}",
+                                            shard_size=3, seed=0)
+        ]
+
+    result = evaluate(trained_model_dir, records["a"], records["b"],
+                      batch=1, split="val")
+    for key in ("dA_loss", "dB_loss", "gAB_loss", "gBA_loss",
+                "dA_acc", "dB_acc"):
+        assert np.isfinite(result[key]), key
+    assert result["batches"] == 1  # int(0.2*6)=1 val pair at batch 1
