@@ -7,6 +7,10 @@ from cyclegan_tpu.data.example_proto import (
     encode_example,
 )
 from cyclegan_tpu.data.pipeline import ArrayDataset, create_dataset
+from cyclegan_tpu.data.streaming import (
+    StreamingDataset,
+    create_streaming_dataset,
+)
 from cyclegan_tpu.data.tfrecord import (
     read_tfrecord_file,
     tfrecord_writer,
@@ -23,4 +27,6 @@ __all__ = [
     "tfrecord_writer",
     "create_dataset",
     "ArrayDataset",
+    "create_streaming_dataset",
+    "StreamingDataset",
 ]

@@ -1,0 +1,89 @@
+"""Streaming dataset: same semantics as the in-memory pipeline with
+O(batch) memory (record-offset indexing + on-demand decode)."""
+
+import numpy as np
+import pytest
+
+from cyclegan_tpu.data import create_dataset, tfrecord_writer
+from cyclegan_tpu.data.streaming import (
+    create_streaming_dataset,
+    index_shard,
+)
+
+RNG = np.random.default_rng(13)
+
+
+def _domain(tmp_path, name, count, size=24):
+    import cv2
+
+    src = tmp_path / name
+    src.mkdir()
+    for i in range(count):
+        cv2.imwrite(str(src / f"{i}.png"),
+                    RNG.integers(0, 256, size=(size, size, 3), dtype=np.uint8))
+    return [str(p) for p in tfrecord_writer(src, tmp_path / f"{name}_rec",
+                                            shard_size=3, seed=0)]
+
+
+def test_index_shard_counts(tmp_path):
+    records = _domain(tmp_path, "x", 7)
+    total = sum(len(index_shard(p)) for p in records)
+    assert total == 7
+
+
+def test_streaming_matches_inmemory_content(tmp_path, monkeypatch):
+    """Same records -> the exact same set of decoded images as the
+    in-memory pipeline, and identical split sizes. (The native loader's
+    resize differs from cv2 by rounding, so force the python path for
+    byte-exact comparison.)"""
+    import cyclegan_tpu.data.native as native_mod
+
+    monkeypatch.setattr(native_mod, "load_domain_native",
+                        lambda *a, **k: None)
+    records_a = _domain(tmp_path, "a", 10)
+    records_b = _domain(tmp_path, "b", 8)
+    mem_train, mem_val = create_dataset(records_a, records_b, width=16, seed=5)
+    st_train, st_val = create_streaming_dataset(records_a, records_b,
+                                                width=16, seed=5)
+    assert len(st_train) == len(mem_train)
+    assert len(st_val) == len(mem_val)
+
+    def image_set(batches):
+        return {a.tobytes() for batch_a, _ in batches for a in batch_a}
+
+    mem_images = {im.tobytes() for im in mem_train.images_a} | {
+        im.tobytes() for im in mem_val.images_a
+    }
+    st_images = image_set(st_train.batches(2, epoch=0)) | image_set(
+        st_val.batches(1, epoch=0)
+    )
+    # streaming train epoch covers min(len) pairs; compare as subsets
+    assert st_images <= mem_images
+    assert len(st_images) >= len(mem_images) - 4  # dropped remainder slack
+
+
+def test_streaming_epoch_determinism_and_reshuffle(tmp_path):
+    records_a = _domain(tmp_path, "sa", 9)
+    records_b = _domain(tmp_path, "sb", 9)
+    train, _ = create_streaming_dataset(records_a, records_b, width=16, seed=1)
+    e0_first = [a for a, _ in train.batches(1, epoch=0)]
+    e0_second = [a for a, _ in train.batches(1, epoch=0)]
+    for x, y in zip(e0_first, e0_second):
+        np.testing.assert_array_equal(x, y)  # same epoch -> same order
+    e1 = [a for a, _ in train.batches(1, epoch=1)]
+    assert not all(np.array_equal(x, y) for x, y in zip(e0_first, e1))
+
+
+def test_streaming_trains(tmp_path):
+    """The trainer accepts a StreamingDataset wherever an ArrayDataset
+    goes (duck-typed interface)."""
+    from tests.test_trainer import tiny_model_config, tiny_train_config
+    from cyclegan_tpu.trainer import CycleGan
+
+    records_a = _domain(tmp_path, "ta", 8, size=16)
+    records_b = _domain(tmp_path, "tb", 8, size=16)
+    train_ds, val_ds = create_streaming_dataset(records_a, records_b,
+                                                width=16, seed=0)
+    gan = CycleGan(tiny_model_config(tmp_path), tiny_train_config(epochs=1))
+    gan.train(train_ds, val_ds)
+    assert int(gan.state.step) >= 1
