@@ -2,8 +2,9 @@
 
 from cyclegan_tpu.parallel.mesh import (
     create_mesh,
+    create_mesh_2d,
     replicate,
     shard_batch,
 )
 
-__all__ = ["create_mesh", "shard_batch", "replicate"]
+__all__ = ["create_mesh", "create_mesh_2d", "shard_batch", "replicate"]

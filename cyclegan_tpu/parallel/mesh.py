@@ -37,6 +37,28 @@ def create_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def create_mesh_2d(
+    replica: int,
+    data: int,
+    axis_names: Sequence[str] = ("replica", "data"),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """2-D mesh for multi-slice data parallelism: an outer ``replica`` axis
+    (DCN, across slices) times an inner ``data`` axis (ICI, within a
+    slice). Batches shard over BOTH axes (pass
+    ``mesh_axis=("replica", "data")`` to the step builders), params stay
+    replicated; XLA routes the gradient psum hierarchically. On a single
+    slice this is exercised with virtual devices — the multi-slice jump is
+    a device-list change, not a code change."""
+    if devices is None:
+        devices = jax.devices()
+    needed = replica * data
+    if needed > len(devices):
+        raise ValueError(f"requested {needed} devices, have {len(devices)}")
+    grid = np.asarray(devices[:needed]).reshape(replica, data)
+    return Mesh(grid, tuple(axis_names))
+
+
 def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:
     """Place host arrays on device, sharded along dim 0 of every leaf."""
     sharding = NamedSharding(mesh, P(axis_name))

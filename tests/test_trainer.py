@@ -276,3 +276,50 @@ def test_trainer_profile_with_multi_step(tmp_path):
     gan.train(train_ds, val_ds)
     assert int(gan.state.step) == 3
     assert (tmp_path / "trace").exists()
+
+
+def test_two_axis_mesh_matches_single_device(tmp_path):
+    """Multi-slice readiness: a 2x4 (replica x data) mesh with the batch
+    sharded over BOTH axes must equal the single-device step — the DCN
+    outer axis is a config change, not a rewrite (SURVEY.md §5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cyclegan_tpu.models import create_model
+    from cyclegan_tpu.optimizers import get_optimizer
+    from cyclegan_tpu.parallel import create_mesh_2d, replicate
+    from cyclegan_tpu.steps import NETWORKS, init_train_state, make_train_step
+
+    model_config = tiny_model_config(tmp_path)
+    models = {
+        "g_AB": create_model(model_config.generator),
+        "g_BA": create_model(model_config.generator),
+        "d_A": create_model(model_config.discriminator),
+        "d_B": create_model(model_config.discriminator),
+    }
+    optimizers = {
+        name: get_optimizer(dict(name="adam", learning_rate=2e-4, beta_1=0.5))
+        for name in NETWORKS
+    }
+    state = init_train_state(jax.random.PRNGKey(0), models, optimizers)
+    weights = dict(cycle=2.0, identity=0.5, generator=1.0, discriminator=0.5)
+
+    real_a = jnp.asarray(RNG.uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32))
+    real_b = jnp.asarray(RNG.uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32))
+
+    single = make_train_step(models, optimizers, "mse", weights, donate=False)
+    s1, m1 = single(state, real_a, real_b)
+
+    mesh = create_mesh_2d(2, 4)
+    step2d = make_train_step(models, optimizers, "mse", weights, donate=False,
+                             mesh=mesh, mesh_axis=("replica", "data"))
+    batch_sharding = NamedSharding(mesh, P(("replica", "data")))
+    s2, m2 = step2d(
+        replicate(mesh, state),
+        jax.device_put(real_a, batch_sharding),
+        jax.device_put(real_b, batch_sharding),
+    )
+    for key in m1:
+        assert float(m1[key]) == pytest.approx(float(m2[key]), abs=1e-5), key
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
