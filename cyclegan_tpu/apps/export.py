@@ -29,6 +29,7 @@ def export_records(
     direction: str = "a2b",
     size: int = 512,
     batch: int = 8,
+    compute_dtype: str = "bfloat16",
 ) -> List[Path]:
     """Stylize every image in the shards; returns written paths.
 
@@ -39,7 +40,7 @@ def export_records(
     from cyclegan_tpu.data.codec import encode_png_bgr
     from cyclegan_tpu.data.pipeline import _load_domain
 
-    session = InferenceSession(model_dir)
+    session = InferenceSession(model_dir, compute_dtype=compute_dtype)
     images = _load_domain(records, size)
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -69,9 +70,11 @@ def main():
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--out", type=Path, default=Path("exports"))
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
     export_records(args.records, args.model_dir, args.out, args.direction,
-                   args.size, args.batch)
+                   args.size, args.batch, args.dtype)
 
 
 if __name__ == "__main__":

@@ -21,9 +21,17 @@ from cyclegan_tpu.utils.checkpoint import load_pytree
 
 
 class InferenceSession:
-    """Loads g_AB/g_BA from a trained model folder and stylizes images."""
+    """Loads g_AB/g_BA from a trained model folder and stylizes images.
 
-    def __init__(self, model_dir: Union[str, Path]):
+    ``compute_dtype="bfloat16"`` runs the generator convs on the MXU fast
+    path (f32 master params are cast per call; outputs are uint8 either
+    way) — the serving-throughput mode for the export pipeline and HTTP
+    server. Default float32 keeps TF-parity numerics.
+    """
+
+    def __init__(self, model_dir: Union[str, Path],
+                 compute_dtype: str = "float32"):
+        self.compute_dtype = compute_dtype
         import jax
 
         model_dir = Path(model_dir)
@@ -67,12 +75,20 @@ class InferenceSession:
         key = (name, images.shape, str(images.dtype))
         if key not in self._fns:
             model = self.models[name]
+            cdtype = jnp.dtype(self.compute_dtype)
 
             @jax.jit
             def fwd(params, model_state, x):
                 x = normalize(x) if x.dtype == jnp.uint8 else x
+                if cdtype != jnp.float32:
+                    params = jax.tree_util.tree_map(
+                        lambda v: v.astype(cdtype)
+                        if jnp.issubdtype(v.dtype, jnp.floating) else v,
+                        params,
+                    )
+                    x = x.astype(cdtype)
                 y, _ = model.apply(params, model_state, x, train=False)
-                return denormalize_to_uint8(y)
+                return denormalize_to_uint8(y.astype(jnp.float32))
 
             self._fns[key] = fwd
         return np.asarray(

