@@ -1,0 +1,98 @@
+"""In-process tests of the CLI entry points (train.py / predict.py),
+covering argument parsing, record discovery, mesh wiring and artifact
+layout — the same surface the reference exposes to users."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _make_records(tmp_path, n=6, hw=20):
+    import cv2
+
+    from cyclegan_tpu.data import tfrecord_writer
+
+    rng = np.random.default_rng(1)
+    data_dir = tmp_path / "data"
+    for breed in ("tabby", "tortie"):
+        src = tmp_path / f"raw_{breed}"
+        src.mkdir()
+        for i in range(n):
+            cv2.imwrite(str(src / f"{i}.png"),
+                        rng.integers(0, 256, (hw, hw, 3), dtype=np.uint8))
+        tfrecord_writer(src, data_dir / f"{breed}_records", shard_size=4,
+                        seed=0)
+    return data_dir
+
+
+def _write_configs(tmp_path):
+    model_cfg = dict(
+        name="cli_smoke",
+        new=True,
+        location=str(tmp_path / "model_instances"),
+        seed=0,
+        generator=dict(type="unet_generator", filters=[4, 4], kernels=[3, 3],
+                       output_channels=3, expansion="upsample",
+                       normalization="instancenorm", dropout=False,
+                       final_activation="tanh"),
+        discriminator=dict(type="simple_discriminator", filters=[4, 4],
+                           kernels=[3, 3], normalization="instancenorm"),
+        loss="mse",
+        loss_weights=dict(cycle=2.0, identity=0.5, generator=1.0,
+                          discriminator=0.5),
+    )
+    train_cfg = dict(
+        epochs=1, batch_size=2, image_size=16, display_every=0,
+        g_opt=dict(name="adam", learning_rate=2e-4, beta_1=0.5),
+        d_opt=dict(name="adam", learning_rate=2e-4, beta_1=0.5),
+        summary=dict(samples=1, images=1, model=1),
+    )
+    mc = tmp_path / "model.yaml"
+    tc = tmp_path / "train.yaml"
+    mc.write_text(yaml.safe_dump(model_cfg))
+    tc.write_text(yaml.safe_dump(train_cfg))
+    return mc, tc
+
+
+def test_train_cli_main(tmp_path, monkeypatch):
+    import train as train_cli
+
+    data_dir = _make_records(tmp_path)
+    mc, tc = _write_configs(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--model_config", str(mc), "--train_config", str(tc),
+        "--data_dir", str(data_dir), "--num_devices", "1",
+    ])
+    train_cli.main()
+    out = tmp_path / "model_instances" / "cli_smoke"
+    assert (out / "checkpoint.npz").exists()
+    assert (out / "model_config.yaml").exists()
+    written = yaml.safe_load((out / "model_config.yaml").read_text())
+    assert written["current_epoch"] == 1
+
+
+def test_predict_cli_main(tmp_path, monkeypatch, capsys):
+    import cv2
+
+    import predict as predict_cli
+
+    rng = np.random.default_rng(2)
+    image = tmp_path / "cat.png"
+    cv2.imwrite(str(image), rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+
+    monkeypatch.setattr(sys, "argv", [
+        "predict.py", "--image", str(image),
+        "--model_dir", "model_instances/demo",
+        "--size", "32", "--out", str(tmp_path / "preds"),
+    ])
+    predict_cli.cli_main()
+    for tag in ("original", "a2b", "b2a"):
+        path = tmp_path / "preds" / f"cat_{tag}.png"
+        assert path.exists(), tag
+        decoded = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        assert decoded.shape == (32, 32, 3)
