@@ -77,7 +77,65 @@ def evaluate(model_dir: Path, records_a, records_b, batch: int = 8,
     return result
 
 
+def evaluate_quality(model_dir: Path, records_a, records_b,
+                     batch: int = 8, split: str = "val",
+                     validation_split: float = 0.2,
+                     max_images: int = 256, seed: int = 0,
+                     compute_dtype: str = "float32") -> dict:
+    """FID-class quality statistics (VERDICT r1 item 6): stylize the split's
+    domain-A images through g_AB and compare their distribution against the
+    real domain-B images (and vice versa) with FID/KID on the fixed
+    random-feature extractor plus SWD — see utils/quality.py for why the
+    proxy extractor is used when Inception weights are unavailable."""
+    from cyclegan_tpu.apps.inference import InferenceSession
+    from cyclegan_tpu.utils.quality import compute_quality
+
+    session = InferenceSession(model_dir, compute_dtype=compute_dtype)
+    width = 0
+    train_cfg = Path(model_dir) / "train_config.yaml"
+    if train_cfg.exists():
+        from cyclegan_tpu.config import yaml2namespace
+
+        width = int(yaml2namespace(train_cfg).image_size)
+    width = width or 256
+
+    from cyclegan_tpu.data import create_dataset
+
+    train_ds, val_ds = create_dataset(
+        records_a, records_b, validation_split=validation_split,
+        width=width, seed=seed)
+    dataset = val_ds if split == "val" else train_ds
+
+    reals_a, reals_b = [], []
+    for images_a, images_b in dataset.batches(batch, epoch=0):
+        reals_a.append(np.asarray(images_a))
+        reals_b.append(np.asarray(images_b))
+        if sum(len(x) for x in reals_a) >= max_images:
+            break
+    real_a = np.concatenate(reals_a)[:max_images]
+    real_b = np.concatenate(reals_b)[:max_images]
+
+    fake_b = np.concatenate(
+        [session.stylize(real_a[i:i + batch], "a2b")
+         for i in range(0, len(real_a), batch)])
+    fake_a = np.concatenate(
+        [session.stylize(real_b[i:i + batch], "b2a")
+         for i in range(0, len(real_b), batch)])
+
+    result = {}
+    for tag, fake, real in (("a2b", fake_b, real_b), ("b2a", fake_a, real_a)):
+        stats = compute_quality(fake, real, seed=seed)
+        result.update({f"{tag}_{k}": v for k, v in stats.items()
+                       if k not in ("n_a", "n_b")})
+    result["n_images"] = int(len(real_a))
+    result["split"] = split
+    return result
+
+
 def main():
+    from cyclegan_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()  # JAX_PLATFORMS env must win over harness plugins
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser("cyclegan_tpu evaluation")
     parser.add_argument("--model_dir", type=Path,
@@ -88,6 +146,12 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--split", choices=["val", "train"], default="val")
     parser.add_argument("--validation_split", type=float, default=0.2)
+    parser.add_argument("--quality", action="store_true",
+                        help="also compute FID-class statistics "
+                        "(FID/KID on the random-feature proxy extractor + "
+                        "SWD) between stylized and real image sets")
+    parser.add_argument("--max_images", type=int, default=256,
+                        help="image budget per domain for --quality")
     args = parser.parse_args()
 
     def expand(paths):
@@ -98,6 +162,12 @@ def main():
     result = evaluate(args.model_dir, expand(args.records_a),
                       expand(args.records_b), args.batch, args.split,
                       args.validation_split)
+    if args.quality:
+        result.update(
+            evaluate_quality(args.model_dir, expand(args.records_a),
+                             expand(args.records_b), args.batch, args.split,
+                             args.validation_split,
+                             max_images=args.max_images))
     print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
                       for k, v in result.items()}))
 

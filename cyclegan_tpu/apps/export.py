@@ -61,6 +61,9 @@ def export_records(
 
 
 def main():
+    from cyclegan_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()  # JAX_PLATFORMS env must win over harness plugins
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser("cyclegan_tpu batched export")
     parser.add_argument("--records", nargs="+", required=True)

@@ -1,0 +1,348 @@
+"""Import the reference's trained-model artifact into a cyclegan_tpu
+checkpoint.
+
+The reference ships a trained model instance as 4 Keras SavedModels + 4
+optimizer-slot ``.npy`` files + fixed TB sample images + configs, written
+by ``CycleGan.save_model`` (reference: cyclegan/model.py:304-323) and
+restored by ``load_model``/``load_optimizer`` (cyclegan/model.py:325-362).
+A user migrating from the reference brings that directory here:
+
+    python -m cyclegan_tpu.apps.import_reference \
+        --model_dir /path/to/model_instances/model --output model_instances/imported
+
+and gets a directory loadable by ``InferenceSession``/the trainer
+(checkpoint.npz + samples + configs), with the exact trained weights AND
+Adam slot state (so training resumes without catastrophic forgetting —
+the property the reference's ``load_optimizer`` docstring names).
+
+How it reads the SavedModels: ``tf.keras.models.load_model`` cannot load
+TF-2.x-era Keras SavedModels under Keras 3, so the variables are read
+directly from the SavedModel's object-graph checkpoint
+(``<dir>/variables/variables``) via ``tf.train.load_checkpoint``. Keras
+functional models store weights under keys
+
+    layer_with_weights-<N>/<attr>/.ATTRIBUTES/VARIABLE_VALUE
+
+where ``<N>`` counts weight-bearing layers in graph-construction order and
+``<attr>`` is ``kernel``/``bias`` (convs) or ``gamma``/``beta``
+(tfa InstanceNormalization). Graph-construction order for each reference
+builder is deterministic (cyclegan/unet.py:39-124, cyclegan/resnet.py:63-105),
+so a per-architecture slot enumerator maps layer N onto our params pytree.
+The same enumerators drive the TF-parity tests
+(tests/test_full_model_parity.py), which prove the mapping produces
+forward-pass equality < 1e-3.
+
+Optimizer ``.npy`` format: ``np.save(optimizer.get_weights())`` — a pickled
+object array ``[iterations, m_0..m_{n-1}, v_0..v_{n-1}]`` in
+``model.trainable_variables`` order (Keras 2 Adam slot layout). These map
+onto optax's ``ScaleByAdamState`` (count/mu/nu): the round-1
+step-for-step Adam parity test (tests/test_tf_parity.py) is what makes
+this import a true resume, not an approximation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import shutil
+from collections import defaultdict
+from pathlib import Path
+from typing import Any, Dict, List, MutableMapping, Sequence, Tuple
+
+import numpy as np
+
+NETWORKS = ("g_AB", "g_BA", "d_A", "d_B")
+
+# (tf_attr -> our_key) maps per slot kind
+_CONV = (("kernel", "w"),)
+_CONV_BIAS = (("kernel", "w"), ("bias", "b"))
+_NORM = (("gamma", "gamma"), ("beta", "beta"))
+
+Slot = Tuple[Tuple[Tuple[str, str], ...], MutableMapping[str, Any]]
+
+
+def enumerate_slots(arch_type: str, params: Dict[str, Any]) -> List[Slot]:
+    """Ordered (attr-map, target-dict) slots matching the reference
+    builder's Keras graph-construction order of weight-bearing layers."""
+    slots: List[Slot] = []
+    if arch_type == "unet_generator":
+        # cyclegan/unet.py:81-124 — double_conv levels down, bottom,
+        # [convt + norm when expansion != upsample] + double_conv up, head.
+        for level in params["down"]:
+            for block in level:
+                slots.append((_CONV, block["conv"]))
+                slots.append((_NORM, block["norm"]))
+        for block in params["bottom"]:
+            slots.append((_CONV, block["conv"]))
+            slots.append((_NORM, block["norm"]))
+        for level in params["up"]:
+            if "convt" in level:
+                slots.append((_CONV_BIAS, level["convt"]))
+                slots.append((_NORM, level["convt_norm"]))
+            for block in level["dc"]:
+                slots.append((_CONV, block["conv"]))
+                slots.append((_NORM, block["norm"]))
+        slots.append((_CONV_BIAS, params["head"]))
+    elif arch_type == "strided_unet":
+        # cyclegan/unet.py:39-78
+        for level in params["down"]:
+            slots.append((_CONV_BIAS, level["conv"]))
+            slots.append((_NORM, level["norm"]))
+        slots.append((_CONV_BIAS, params["bottom"]))
+        for level in params["up"]:
+            slots.append((_CONV_BIAS, level["convt"]))
+            slots.append((_NORM, level["norm"]))
+        slots.append((_CONV_BIAS, params["last"]))
+    elif arch_type == "resnet_generator":
+        # cyclegan/resnet.py:63-85 — all norms non-affine (no params)
+        slots.append((_CONV_BIAS, params["stem"]))
+        for p in params["down"]:
+            slots.append((_CONV_BIAS, p))
+        for block in params["res"]:
+            slots.append((_CONV_BIAS, block["conv1"]))
+            slots.append((_CONV_BIAS, block["conv2"]))
+        for p in params["up"]:
+            slots.append((_CONV_BIAS, p))
+        slots.append((_CONV_BIAS, params["head"]))
+    elif arch_type == "simple_discriminator":
+        # cyclegan/resnet.py:87-105 — non-affine norms
+        for block in params["blocks"]:
+            slots.append((_CONV_BIAS, block["conv"]))
+        slots.append((_CONV_BIAS, params["head"]))
+    else:
+        raise ValueError(f"unknown architecture {arch_type!r}")
+    return slots
+
+
+_LAYER_KEY = re.compile(
+    r"^layer_with_weights-(\d+)/([A-Za-z_]+)/\.ATTRIBUTES/VARIABLE_VALUE$"
+)
+
+
+def read_savedmodel_layers(saved_model_dir) -> List[Dict[str, np.ndarray]]:
+    """Read a Keras SavedModel's weights as an ordered list of
+    {attr: array} per weight-bearing layer, straight from the variables
+    checkpoint (works for TF-2.x-era SavedModels under any TF version,
+    no Keras deserialization involved)."""
+    import tensorflow as tf
+
+    prefix = str(Path(saved_model_dir) / "variables" / "variables")
+    reader = tf.train.load_checkpoint(prefix)
+    layers: Dict[int, Dict[str, np.ndarray]] = defaultdict(dict)
+    for key in reader.get_variable_to_shape_map():
+        m = _LAYER_KEY.match(key)
+        if m:
+            layers[int(m.group(1))][m.group(2)] = reader.get_tensor(key)
+    if not layers:
+        raise ValueError(
+            f"no layer_with_weights-* variables found in {saved_model_dir} — "
+            "not a Keras SavedModel?"
+        )
+    indices = sorted(layers)
+    assert indices == list(range(len(indices))), indices
+    return [layers[i] for i in indices]
+
+
+def import_params_into(
+    arch_type: str,
+    params: Dict[str, Any],
+    layer_vars: Sequence[Dict[str, np.ndarray]],
+) -> None:
+    """Copy reference weights into our params pytree, in place, with shape
+    validation on every leaf."""
+    slots = enumerate_slots(arch_type, params)
+    if len(slots) != len(layer_vars):
+        raise ValueError(
+            f"{arch_type}: SavedModel has {len(layer_vars)} weight-bearing "
+            f"layers, our params expect {len(slots)} — config mismatch?"
+        )
+    for i, ((attr_map, target), lv) in enumerate(zip(slots, layer_vars)):
+        for tf_attr, our_key in attr_map:
+            if tf_attr not in lv:
+                raise ValueError(
+                    f"{arch_type} layer {i}: expected attribute {tf_attr!r}, "
+                    f"SavedModel has {sorted(lv)}"
+                )
+            value = np.asarray(lv[tf_attr])
+            expected = np.asarray(target[our_key]).shape
+            if tuple(value.shape) != tuple(expected):
+                raise ValueError(
+                    f"{arch_type} layer {i} {tf_attr}: shape {value.shape} "
+                    f"!= expected {expected}"
+                )
+            target[our_key] = value.astype(np.float32)
+
+
+def trainable_leaves(arch_type: str, tree: Dict[str, Any]) -> List[Tuple[MutableMapping, str]]:
+    """(dict, key) references to trainable leaves in
+    ``model.trainable_variables`` order — layer order, then attr order
+    within a layer (kernel, bias / gamma, beta)."""
+    refs: List[Tuple[MutableMapping, str]] = []
+    for attr_map, target in enumerate_slots(arch_type, tree):
+        for _tf_attr, our_key in attr_map:
+            refs.append((target, our_key))
+    return refs
+
+
+def import_adam_npy_into(
+    arch_type: str,
+    opt_state: Any,
+    npy_path,
+) -> Tuple[Any, int]:
+    """Rehydrate an optax adam state from the reference's
+    ``<name>_optimizer.npy`` (Keras ``optimizer.get_weights()``:
+    [iterations, m..., v...]). Returns (new_opt_state, iterations)."""
+    import jax
+    import optax
+
+    weights = list(np.load(npy_path, allow_pickle=True))
+    iterations = int(np.asarray(weights[0]))
+    slot_arrays = weights[1:]
+    if len(slot_arrays) % 2 != 0:
+        raise ValueError(
+            f"{npy_path}: expected [iterations, m..., v...], got "
+            f"{len(weights)} arrays"
+        )
+    n = len(slot_arrays) // 2
+    ms, vs = slot_arrays[:n], slot_arrays[n:]
+
+    # locate the ScaleByAdamState inside the (chained) optax state
+    state_list = list(opt_state)
+    adam_idx = next(
+        (i for i, s in enumerate(state_list)
+         if isinstance(s, optax.ScaleByAdamState)),
+        None,
+    )
+    if adam_idx is None:
+        raise ValueError("optimizer state is not adam; cannot import .npy slots")
+    adam_state = state_list[adam_idx]
+
+    mu = jax.tree_util.tree_map(np.asarray, adam_state.mu)
+    nu = jax.tree_util.tree_map(np.asarray, adam_state.nu)
+    mu_refs = trainable_leaves(arch_type, mu)
+    nu_refs = trainable_leaves(arch_type, nu)
+    if len(mu_refs) != n:
+        raise ValueError(
+            f"{npy_path}: {n} slot pairs but {len(mu_refs)} trainable leaves"
+        )
+    for (d, k), m_arr in zip(mu_refs, ms):
+        if tuple(np.asarray(m_arr).shape) != tuple(np.asarray(d[k]).shape):
+            raise ValueError(
+                f"{npy_path}: m slot shape {np.asarray(m_arr).shape} != "
+                f"param shape {np.asarray(d[k]).shape}"
+            )
+        d[k] = np.asarray(m_arr, np.float32)
+    for (d, k), v_arr in zip(nu_refs, vs):
+        d[k] = np.asarray(v_arr, np.float32)
+
+    state_list[adam_idx] = adam_state._replace(
+        count=np.asarray(iterations, np.int32), mu=mu, nu=nu
+    )
+    return tuple(state_list), iterations
+
+
+def import_reference_model(model_dir, output_dir, strict_optimizer: bool = True):
+    """Convert a reference ``model_instances/<name>`` directory (layout of
+    cyclegan/model.py:304-323) into ours. Returns the output Path."""
+    import jax
+
+    from cyclegan_tpu.config import namespace2yaml, yaml2namespace
+    from cyclegan_tpu.models import create_model
+    from cyclegan_tpu.optimizers import get_optimizer
+    from cyclegan_tpu.steps import init_train_state
+    from cyclegan_tpu.utils.checkpoint import save_pytree
+
+    model_dir = Path(model_dir)
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    model_config = yaml2namespace(model_dir / "model_config.yaml")
+    train_config = yaml2namespace(model_dir / "train_config.yaml")
+
+    models = {
+        "g_AB": create_model(model_config.generator),
+        "g_BA": create_model(model_config.generator),
+        "d_A": create_model(model_config.discriminator),
+        "d_B": create_model(model_config.discriminator),
+    }
+    optimizers = {
+        "g_AB": get_optimizer(train_config.g_opt),
+        "g_BA": get_optimizer(train_config.g_opt),
+        "d_A": get_optimizer(train_config.d_opt),
+        "d_B": get_optimizer(train_config.d_opt),
+    }
+    state = init_train_state(jax.random.PRNGKey(0), models, optimizers)
+    params = jax.device_get(state.params)
+    opt_state = jax.device_get(state.opt_state)
+
+    arch_types = {
+        "g_AB": model_config.generator["type"],
+        "g_BA": model_config.generator["type"],
+        "d_A": model_config.discriminator["type"],
+        "d_B": model_config.discriminator["type"],
+    }
+
+    max_step = 0
+    for name in NETWORKS:
+        layer_vars = read_savedmodel_layers(model_dir / name)
+        import_params_into(arch_types[name], params[name], layer_vars)
+        npy = model_dir / f"{name}_optimizer.npy"
+        if npy.exists():
+            try:
+                opt_state[name], iters = import_adam_npy_into(
+                    arch_types[name], opt_state[name], npy
+                )
+                max_step = max(max_step, iters)
+            except ValueError:
+                if strict_optimizer:
+                    raise
+        elif strict_optimizer:
+            raise FileNotFoundError(npy)
+
+    new_state = type(state)(
+        params=params,
+        model_state=jax.device_get(state.model_state),
+        opt_state=opt_state,
+        rng=jax.device_get(state.rng),
+        step=np.asarray(max_step, np.int32),
+    )
+    save_pytree(output_dir / "checkpoint.npz", new_state)
+
+    for sample in ("a_samples.npy", "b_samples.npy"):
+        src = model_dir / sample
+        if src.exists():
+            shutil.copyfile(src, output_dir / sample)
+
+    # configs: mark resumable (reference semantics: new=false resumes,
+    # cyclegan/model.py:75-78)
+    model_config.new = False
+    namespace2yaml(output_dir / "model_config.yaml", model_config)
+    namespace2yaml(output_dir / "train_config.yaml", train_config)
+    return output_dir
+
+
+def main(argv=None) -> int:
+    from cyclegan_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()  # JAX_PLATFORMS=cpu must win over harness plugins
+    parser = argparse.ArgumentParser(
+        description="Import a reference-trained model directory "
+        "(4 SavedModels + optimizer .npy + samples) into a cyclegan_tpu "
+        "checkpoint directory."
+    )
+    parser.add_argument("--model_dir", required=True,
+                        help="reference model_instances/<name> directory")
+    parser.add_argument("--output", required=True,
+                        help="destination directory (checkpoint.npz + configs)")
+    parser.add_argument("--no-optimizer", action="store_true",
+                        help="import weights only (fresh optimizer state)")
+    args = parser.parse_args(argv)
+    out = import_reference_model(
+        args.model_dir, args.output, strict_optimizer=not args.no_optimizer
+    )
+    print(f"imported reference model -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

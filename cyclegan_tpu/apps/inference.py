@@ -10,7 +10,7 @@ this at 512x512).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Tuple, Union
+from typing import Dict, NamedTuple, Tuple, Union
 
 import numpy as np
 
@@ -18,6 +18,15 @@ from cyclegan_tpu.config import yaml2namespace
 from cyclegan_tpu.data.augment import denormalize_to_uint8, normalize
 from cyclegan_tpu.models import create_model
 from cyclegan_tpu.utils.checkpoint import load_pytree
+
+
+class _InferenceState(NamedTuple):
+    """Params + model_state only — the slice of TrainState inference needs
+    (duck-typed for make_validate_step; NamedTuple so it's a jit-able
+    pytree)."""
+
+    params: dict
+    model_state: dict
 
 
 class InferenceSession:
@@ -40,26 +49,26 @@ class InferenceSession:
             config_path = model_dir / "config.yaml"
         self.model_config = yaml2namespace(config_path)
 
-        from cyclegan_tpu.optimizers import get_optimizer
-        from cyclegan_tpu.steps import init_train_state
-
         self.models = {
             "g_AB": create_model(self.model_config.generator),
             "g_BA": create_model(self.model_config.generator),
             "d_A": create_model(self.model_config.discriminator),
             "d_B": create_model(self.model_config.discriminator),
         }
-        # optimizer states are part of the checkpoint pytree; a dummy adam
-        # provides the matching template structure
-        optimizers = {
-            name: get_optimizer(dict(name="adam", learning_rate=1e-4, beta_1=0.5))
-            for name in self.models
-        }
-        template = init_train_state(
-            jax.random.PRNGKey(0), self.models, optimizers
-        )
-        self.state = load_pytree(model_dir / "checkpoint.npz",
-                                 jax.device_get(template))
+        # Inference never touches optimizer state (the reference loads bare
+        # SavedModels for prediction, predict.py:11-18), so restore only
+        # params + model_state — this also makes the session agnostic to
+        # which optimizer the checkpoint was trained with.
+        template = {"params": {}, "model_state": {}}
+        keys = jax.random.split(jax.random.PRNGKey(0), len(self.models))
+        for key, (name, model) in zip(keys, sorted(self.models.items())):
+            p, s = model.init(key)
+            template["params"][name] = p
+            template["model_state"][name] = s
+        restored = load_pytree(model_dir / "checkpoint.npz",
+                               jax.device_get(template))
+        self.state = _InferenceState(restored["params"],
+                                     restored["model_state"])
         self._fns: Dict[Tuple, object] = {}
 
     def stylize(self, images: np.ndarray, direction: str = "a2b") -> np.ndarray:

@@ -100,6 +100,9 @@ def serve(model_dir: Path, host: str, port: int, size: int):
 
 
 def main():
+    from cyclegan_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()  # JAX_PLATFORMS env must win over harness plugins
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser("cyclegan_tpu inference server")
     parser.add_argument("--model_dir", type=Path,

@@ -45,13 +45,18 @@ from cyclegan_tpu.models.base import Model
 NETWORKS = ("g_AB", "g_BA", "d_A", "d_B")
 
 
-@jax.tree_util.register_pytree_node_class
+@jax.tree_util.register_pytree_with_keys_class
 @dataclasses.dataclass
 class TrainState:
     """One pytree holding everything the reference keeps in the stateful
     ``CycleGan`` object: 4 networks' params + model state, 4 optimizer
     states, the step RNG and the epoch/step counters
-    (cyclegan/model.py:58-89)."""
+    (cyclegan/model.py:58-89).
+
+    Flattened with NAMED keys so checkpoints store human-readable leaf
+    paths (``params/g_AB/...``) — which also lets inference restore params
+    without knowing the optimizer structure (utils/checkpoint.py keeps a
+    fallback for the round-1 positional key format)."""
 
     params: Dict[str, Any]
     model_state: Dict[str, Any]
@@ -59,8 +64,13 @@ class TrainState:
     rng: jax.Array
     step: jnp.ndarray
 
-    def tree_flatten(self):
-        children = (self.params, self.model_state, self.opt_state, self.rng, self.step)
+    _FIELDS = ("params", "model_state", "opt_state", "rng", "step")
+
+    def tree_flatten_with_keys(self):
+        children = tuple(
+            (jax.tree_util.GetAttrKey(name), getattr(self, name))
+            for name in self._FIELDS
+        )
         return children, None
 
     @classmethod

@@ -51,15 +51,40 @@ def save_pytree(path: Union[str, Path], tree: Any) -> None:
         raise
 
 
+# Round-1 checkpoints flattened TrainState positionally; map the named
+# fields onto those legacy key prefixes so old artifacts keep loading.
+_LEGACY_TRAIN_STATE_INDEX = {
+    "params": 0,
+    "model_state": 1,
+    "opt_state": 2,
+    "rng": 3,
+    "step": 4,
+}
+
+
+def _legacy_key(key: str) -> str:
+    head, sep, rest = key.partition("/")
+    if head in _LEGACY_TRAIN_STATE_INDEX:
+        return f"[<flat index {_LEGACY_TRAIN_STATE_INDEX[head]}>]" + sep + rest
+    return key
+
+
 def load_pytree(path: Union[str, Path], template: Any) -> Any:
     """Load a pytree saved by :func:`save_pytree` into the structure of
-    ``template`` (a pytree with the same treedef, e.g. a freshly-initialized
-    TrainState)."""
+    ``template``.
+
+    ``template``'s leaf paths must be a SUBSET of the stored leaves (extra
+    stored keys are ignored) — e.g. a ``{"params": ..., "model_state": ...}``
+    dict template restores just the network weights from a full TrainState
+    checkpoint, which is how inference loads checkpoints without knowing
+    the optimizer structure."""
     with np.load(path) as data:
         stored = {k: data[k] for k in data.files}
 
     def restore(key_path, leaf):
         key = _path_str(key_path)
+        if key not in stored:
+            key = _legacy_key(key)
         if key not in stored:
             raise KeyError(f"checkpoint missing leaf {key!r}")
         value = stored[key]

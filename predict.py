@@ -56,6 +56,9 @@ def streamlit_main():
 
 
 def cli_main():
+    from cyclegan_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()  # JAX_PLATFORMS env must win over harness plugins
     import argparse
 
     import cv2

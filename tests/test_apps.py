@@ -6,6 +6,8 @@ import pytest
 from cyclegan_tpu.apps.inference import InferenceSession
 from tests.test_trainer import tiny_dataset, tiny_model_config, tiny_train_config
 
+pytestmark = pytest.mark.parity  # e2e apps tier (trains a model fixture) (make test-fast skips)
+
 
 @pytest.fixture(scope="module")
 def trained_model_dir(tmp_path_factory):
@@ -236,3 +238,47 @@ def test_inference_bfloat16_mode(trained_model_dir):
     out16 = bf16.stylize(batch, "a2b").astype(int)
     assert out16.dtype == out32.dtype or True
     assert np.abs(out32 - out16).mean() < 4.0  # ~1% of the 255 range
+
+
+def test_inference_restores_non_adam_checkpoint(tmp_path):
+    """Inference never needs optimizer structure: a checkpoint trained with
+    rmsprop (different opt_state tree than adam) restores through
+    InferenceSession (reference parity: predict.py:11-18 loads bare
+    SavedModels). Round-1 regression: a dummy-adam template made this
+    raise."""
+    from cyclegan_tpu.trainer import CycleGan
+
+    model_config = tiny_model_config(tmp_path)
+    train_config = tiny_train_config(epochs=1)
+    train_config.g_opt = dict(name="rmsprop", learning_rate=2e-4)
+    train_config.d_opt = dict(name="sgd", learning_rate=2e-4)
+    gan = CycleGan(model_config, train_config)
+    train_ds, val_ds = tiny_dataset()
+    gan.train(train_ds, val_ds)
+
+    session = InferenceSession(tmp_path / "tiny")
+    rng = np.random.default_rng(4)
+    batch = rng.integers(0, 256, size=(1, 16, 16, 3), dtype=np.uint8)
+    out = session.stylize(batch, "a2b")
+    assert out.shape == batch.shape and out.dtype == np.uint8
+
+
+def test_petfinder_token_exchange(monkeypatch):
+    """Mocked OAuth token exchange (reference: petpy handles this inside
+    flows/petfinder.py; here it's the v2 client_credentials flow)."""
+    import io
+    import json
+    import urllib.parse
+    import urllib.request
+
+    from cyclegan_tpu.apps import flows
+
+    def fake_urlopen(request, *args, **kwargs):
+        assert request.full_url == flows.PETFINDER_TOKEN_URL
+        body = dict(urllib.parse.parse_qsl(request.data.decode()))
+        assert body == dict(grant_type="client_credentials",
+                            client_id="k1", client_secret="s1")
+        return io.BytesIO(json.dumps({"access_token": "tok42"}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    assert flows._petfinder_token("k1", "s1") == "tok42"
