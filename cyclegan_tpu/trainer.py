@@ -175,6 +175,12 @@ class CycleGan:
 
     def train(self, train_dataset: ArrayDataset, validation_dataset: ArrayDataset):
         batch_size = int(self.train_config.batch_size)
+        if self.mesh is not None and batch_size % self.mesh.devices.size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} is not divisible by the mesh size "
+                f"{self.mesh.devices.size}; data parallelism shards the "
+                "batch dim 0 evenly over devices"
+            )
         epochs = int(self.train_config.epochs)
         save_images_every = int(self.train_config.summary["images"])
         tensorboard_samples = int(self.train_config.summary["samples"])

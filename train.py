@@ -78,7 +78,20 @@ def main():
 
     records_a = sorted(map(str, (args.data_dir / "tabby_records").glob("*.tfrecords")))
     records_b = sorted(map(str, (args.data_dir / "tortie_records").glob("*.tfrecords")))
-    train_ds, val_ds = create_dataset(
+    # data_loader: memory (default, whole split in RAM) | streaming
+    # (O(batch) memory, record-offset indexed, threaded decode — for
+    # beyond-RAM corpora). Same deterministic leak-free split either way.
+    loader = str(training_config.get("data_loader", "memory"))
+    if loader == "streaming":
+        from cyclegan_tpu.data.streaming import create_streaming_dataset
+
+        dataset_fn = create_streaming_dataset
+    elif loader == "memory":
+        dataset_fn = create_dataset
+    else:
+        raise ValueError(f"unknown data_loader {loader!r} "
+                         "(expected 'memory' or 'streaming')")
+    train_ds, val_ds = dataset_fn(
         records_a=records_a,
         records_b=records_b,
         width=training_config.image_size,
