@@ -126,9 +126,28 @@ def main():
     tr.add_argument("--destination", nargs="+", type=Path, required=True)
     tr.add_argument("--size", type=int, default=None)
 
+    fe = sub.add_parser(
+        "fetch",
+        help="dvc pull equivalent: materialize manifest-pinned shards "
+        "from a remote (URL or directory), sha256-verified",
+    )
+    fe.add_argument("--records_dir", nargs="+", type=Path, required=True)
+    fe.add_argument("--remote", nargs="+", required=True,
+                    help="one remote per records_dir (or one for all)")
+
     args = parser.parse_args()
     if args.command == "download":
         download_flow(args.breeds, args.destination, args.pages)
+    elif args.command == "fetch":
+        from cyclegan_tpu.data.manifest import fetch_from_remote
+
+        remotes = args.remote
+        if len(remotes) == 1:
+            remotes = remotes * len(args.records_dir)
+        for records_dir, remote in zip(args.records_dir, remotes):
+            result = fetch_from_remote(records_dir, remote)
+            logger.info("%s: fetched %d, cached %d", records_dir,
+                        len(result["fetched"]), len(result["cached"]))
     else:
         tfrecords_flow(args.images, args.destination, args.size)
 

@@ -1,0 +1,187 @@
+"""FID-class quality metrics (VERDICT r1 item 6).
+
+The reference demonstrates quality only via a demo image (README.md:5);
+the north star asks for "identical FID-class output". Real FID needs the
+Inception-v3 weights, which are not fetchable in this environment (zero
+egress) — so this module implements the FID/KID *machinery* with a
+pluggable feature extractor:
+
+- ``features="random"`` (default): a fixed, seeded, randomly-initialized
+  conv feature stack. Random-feature FID/KID is a documented proxy
+  (random projections preserve distributional distances; the estimator is
+  deterministic given the seed) — it tracks distribution drift between
+  image sets and is comparable ACROSS runs of this codebase, but its
+  absolute scale is not comparable to Inception-FID numbers.
+- ``features=callable``: any (N,H,W,3)->(N,D) embedding, e.g. an
+  Inception-v3 port when weights are available.
+
+Also provides sliced Wasserstein distance (SWD) on raw pixels/patches —
+a second pretrained-free FID-class statistic (Karras et al., 2018 use it
+for exactly this purpose).
+
+All statistics are computed in float64 on host; the feature extractor
+runs jitted on device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# feature extractors
+# ---------------------------------------------------------------------------
+
+def make_random_feature_extractor(dim: int = 256, seed: int = 0,
+                                  image_size: int = 64) -> Callable:
+    """A fixed random conv stack: 4x (conv stride 2 + leaky relu), global
+    mean+max pool, random projection to ``dim``. Deterministic in ``seed``.
+
+    Inputs: uint8 or [-1,1] float (N,H,W,3); resized to ``image_size``
+    bilinearly first so the metric is resolution-independent.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, 6)
+    channels = [3, 32, 64, 128, 256]
+    kernels = []
+    for i in range(4):
+        fan_in = 3 * 3 * channels[i]
+        kernels.append(
+            jax.random.normal(keys[i], (3, 3, channels[i], channels[i + 1]),
+                              jnp.float32) * np.sqrt(2.0 / fan_in)
+        )
+    proj = jax.random.normal(keys[4], (2 * channels[-1], dim),
+                             jnp.float32) / np.sqrt(2 * channels[-1])
+
+    @jax.jit
+    def extract(x):
+        x = x.astype(jnp.float32)
+        # uint8 -> [-1, 1]
+        x = jnp.where(jnp.max(jnp.abs(x)) > 2.0, x / 127.5 - 1.0, x)
+        n = x.shape[0]
+        x = jax.image.resize(x, (n, image_size, image_size, 3), "bilinear")
+        for k in kernels:
+            x = jax.lax.conv_general_dilated(
+                x, k, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jax.nn.leaky_relu(x, 0.2)
+        feats = jnp.concatenate(
+            [jnp.mean(x, axis=(1, 2)), jnp.max(x, axis=(1, 2))], axis=-1
+        )
+        return feats @ proj
+
+    def extractor(images) -> np.ndarray:
+        import jax.numpy as jnp  # noqa: F811
+
+        return np.asarray(extract(jnp.asarray(images)), np.float64)
+
+    return extractor
+
+
+# ---------------------------------------------------------------------------
+# statistics
+# ---------------------------------------------------------------------------
+
+def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    """FID formula: ||mu_a - mu_b||^2 + Tr(Ca + Cb - 2 (Ca Cb)^{1/2}).
+
+    The matrix sqrt uses an eigen decomposition of the symmetrized product
+    (scipy-free apart from linalg; robust to slightly non-PSD inputs by
+    clipping tiny negative eigenvalues).
+    """
+    feats_a = np.asarray(feats_a, np.float64)
+    feats_b = np.asarray(feats_b, np.float64)
+    mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
+    ca = np.cov(feats_a, rowvar=False)
+    cb = np.cov(feats_b, rowvar=False)
+    diff = mu_a - mu_b
+
+    # sqrt of Ca Cb via: Ca^{1/2} Cb Ca^{1/2} is PSD; Tr((Ca Cb)^{1/2}) =
+    # Tr((Ca^{1/2} Cb Ca^{1/2})^{1/2})
+    wa, va = np.linalg.eigh(ca)
+    wa = np.clip(wa, 0, None)
+    sqrt_ca = (va * np.sqrt(wa)) @ va.T
+    inner = sqrt_ca @ cb @ sqrt_ca
+    wi = np.linalg.eigvalsh(inner)
+    tr_sqrt = np.sum(np.sqrt(np.clip(wi, 0, None)))
+    return float(diff @ diff + np.trace(ca) + np.trace(cb) - 2.0 * tr_sqrt)
+
+
+def kernel_inception_distance(feats_a: np.ndarray, feats_b: np.ndarray,
+                              degree: int = 3) -> float:
+    """KID: squared MMD with the polynomial kernel (x.y/d + 1)^degree
+    (Binkowski et al., 2018) — unbiased, better behaved than FID at small N.
+    """
+    x = np.asarray(feats_a, np.float64)
+    y = np.asarray(feats_b, np.float64)
+    d = x.shape[1]
+
+    def k(u, v):
+        return (u @ v.T / d + 1.0) ** degree
+
+    m, n = len(x), len(y)
+    kxx = k(x, x)
+    kyy = k(y, y)
+    kxy = k(x, y)
+    sum_xx = (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+    sum_yy = (kyy.sum() - np.trace(kyy)) / (n * (n - 1))
+    sum_xy = kxy.mean()
+    return float(sum_xx + sum_yy - 2.0 * sum_xy)
+
+
+def sliced_wasserstein(images_a: np.ndarray, images_b: np.ndarray,
+                       n_projections: int = 256, patch: int = 7,
+                       n_patches: int = 2048, seed: int = 0) -> float:
+    """SWD over random pixel patches (Karras et al., 2018): project patch
+    vectors onto random directions and average 1-D Wasserstein distances.
+    Pretrained-free and sensitive to both color stats and local texture."""
+    rng = np.random.default_rng(seed)
+
+    def to_float(x):
+        x = np.asarray(x, np.float64)
+        if x.max() > 2.0:
+            x = x / 127.5 - 1.0
+        return x
+
+    def sample_patches(x):
+        n, h, w, c = x.shape
+        idx_n = rng.integers(0, n, n_patches)
+        idx_h = rng.integers(0, h - patch + 1, n_patches)
+        idx_w = rng.integers(0, w - patch + 1, n_patches)
+        out = np.empty((n_patches, patch * patch * c))
+        for i, (ni, hi, wi) in enumerate(zip(idx_n, idx_h, idx_w)):
+            out[i] = x[ni, hi:hi + patch, wi:wi + patch].ravel()
+        out -= out.mean(axis=1, keepdims=True)
+        sd = out.std(axis=1, keepdims=True)
+        return out / np.maximum(sd, 1e-8)
+
+    pa = sample_patches(to_float(images_a))
+    pb = sample_patches(to_float(images_b))
+    dirs = rng.normal(size=(pa.shape[1], n_projections))
+    dirs /= np.linalg.norm(dirs, axis=0, keepdims=True)
+    proj_a = np.sort(pa @ dirs, axis=0)
+    proj_b = np.sort(pb @ dirs, axis=0)
+    return float(np.mean(np.abs(proj_a - proj_b)))
+
+
+def compute_quality(images_a: np.ndarray, images_b: np.ndarray,
+                    extractor: Optional[Callable] = None,
+                    seed: int = 0) -> dict:
+    """All three statistics between two image sets. ``extractor=None``
+    uses the fixed random-feature stack (proxy mode, documented above)."""
+    if extractor is None:
+        extractor = make_random_feature_extractor(seed=seed)
+    fa = extractor(images_a)
+    fb = extractor(images_b)
+    return {
+        "fid_proxy": round(frechet_distance(fa, fb), 4),
+        "kid_proxy": round(kernel_inception_distance(fa, fb), 6),
+        "swd": round(sliced_wasserstein(images_a, images_b, seed=seed), 4),
+        "n_a": int(len(np.asarray(images_a))),
+        "n_b": int(len(np.asarray(images_b))),
+    }
