@@ -21,6 +21,8 @@ import jax.numpy as jnp  # noqa: E402
 from cyclegan_tpu.models import unet_generator  # noqa: E402
 from scripts.measure_reference_baseline import build_tf_models  # noqa: E402
 
+pytestmark = pytest.mark.parity  # TF full-network parity tier (make test-fast skips)
+
 FILTERS = [16, 32, 64, 128]
 KERNELS = [4, 4, 4, 4]
 IMAGE_SIZE = 64

@@ -5,6 +5,7 @@ import sys
 from pathlib import Path
 
 import jax
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -18,6 +19,7 @@ def test_entry_traces():
     assert out.dtype.name == "float32"
 
 
+@pytest.mark.parity  # ~70 s subprocess compile (make test-fast skips)
 def test_dryrun_multichip_under_driver_default_env():
     """Regression guard for the round-1 driver failure (MULTICHIP_r01.json
     rc=1): run ``python __graft_entry__.py 8`` in a subprocess with the

@@ -154,6 +154,7 @@ def test_train_step_rng_advances(batch):
     assert not np.array_equal(np.asarray(state.rng), np.asarray(new_state.rng))
 
 
+@pytest.mark.parity  # slow compile (make test-fast skips)
 def test_train_step_bfloat16_compute(batch):
     """bf16 compute path: master params stay f32, step runs, metrics finite."""
     models = build_models()
@@ -178,6 +179,7 @@ def test_train_step_bfloat16_compute(batch):
         ), key
 
 
+@pytest.mark.parity  # slow compile (make test-fast skips)
 def test_train_step_remat_matches(batch):
     """remat=True must be numerics-identical (same grads, just
     recomputed) to the default step."""
@@ -197,6 +199,7 @@ def test_train_step_remat_matches(batch):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
 
 
+@pytest.mark.parity  # slow compile (make test-fast skips)
 def test_train_step_with_dropout_generators(batch):
     """Dropout generators need per-application rng threading inside the
     step (the reference's training=True dropout path, cyclegan/unet.py:34)."""
@@ -215,6 +218,7 @@ def test_train_step_with_dropout_generators(batch):
     assert float(m1["gAB_loss"]) == pytest.approx(float(m2["gAB_loss"]))
 
 
+@pytest.mark.parity  # slow compile (make test-fast skips)
 def test_train_step_with_batchnorm_updates_state(batch):
     cfg = dict(GEN_CFG, normalization="batchnorm")
     models = dict(build_models(), g_AB=unet_generator(cfg),
@@ -233,6 +237,7 @@ def test_train_step_with_batchnorm_updates_state(batch):
     assert not np.allclose(before, after)
 
 
+@pytest.mark.parity  # slow compile (make test-fast skips)
 def test_multi_step_matches_sequential(batch):
     """lax.scan K-step trainer must produce the same state/metrics as K
     sequential single steps."""
@@ -291,6 +296,7 @@ def test_golden_metrics_fixed_seed(batch):
         assert float(metrics[key]) == pytest.approx(value, abs=2e-4), key
 
 
+@pytest.mark.parity  # slow compile (make test-fast skips)
 def test_paired_forward_matches(batch):
     """The vmapped paired-twin step must be numerics-identical to the
     regular step (same grads, same metrics) for stateless models."""

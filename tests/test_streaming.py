@@ -6,9 +6,12 @@ import pytest
 
 from cyclegan_tpu.data import create_dataset, tfrecord_writer
 from cyclegan_tpu.data.streaming import (
+
     create_streaming_dataset,
     index_shard,
 )
+
+pytestmark = pytest.mark.parity  # e2e streaming-trainer tier (make test-fast skips)
 
 RNG = np.random.default_rng(13)
 

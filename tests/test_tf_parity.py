@@ -17,6 +17,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from cyclegan_tpu.losses import get_loss_obj  # noqa: E402
 from cyclegan_tpu.ops import (  # noqa: E402
+
     avg_pool2x2,
     conv2d,
     conv2d_transpose,
@@ -24,6 +25,8 @@ from cyclegan_tpu.ops import (  # noqa: E402
     resize_bilinear,
     upsample_nearest_2x,
 )
+
+pytestmark = pytest.mark.parity  # TF numerics parity tier (make test-fast skips)
 
 RNG = np.random.default_rng(1234)
 

@@ -13,6 +13,8 @@ from cyclegan_tpu.data.pipeline import ArrayDataset
 from cyclegan_tpu.parallel import create_mesh
 from cyclegan_tpu.trainer import CHECKPOINT_FILE, CycleGan
 
+pytestmark = pytest.mark.parity  # e2e training-loop tier (make test-fast skips)
+
 RNG = np.random.default_rng(3)
 
 
