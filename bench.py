@@ -32,7 +32,8 @@ REFERENCE_GPU_IMAGES_PER_SEC = 2.5
 
 def build_step(batch_size: int, image_size: int, compute_dtype: str,
                model_config_path: str = "configs/cycle.yaml",
-               remat: bool = False, paired: bool = False):
+               remat: bool = False, paired: bool = False,
+               tpu_layout: bool = False):
     import jax
 
     from cyclegan_tpu.config import yaml2namespace
@@ -76,6 +77,7 @@ def build_step(batch_size: int, image_size: int, compute_dtype: str,
         compute_dtype=compute_dtype,
         remat=remat,
         paired=paired,
+        tpu_layout=tpu_layout,
     )
     state = replicate(
         mesh, init_train_state(jax.random.PRNGKey(0), models, optimizers)
@@ -125,6 +127,16 @@ def main():
                         "configs/resnet.yaml for the canonical recipe)")
     parser.add_argument("--pallas", action="store_true",
                         help="route instance norm through the Pallas kernel")
+    parser.add_argument("--layout", default="nhwc",
+                        choices=["nhwc", "nhcw"],
+                        help="activation layout for the train step: nhwc "
+                        "(XLA-native, current fastest end-to-end) or nhcw "
+                        "(lane-dense experiment, ties nhwc with XLA convs)")
+    parser.add_argument("--pallas-conv", action="store_true",
+                        help="within --layout nhcw, dispatch stride-1 "
+                        "SAME convs to the lane-dense Pallas kernel "
+                        "(measured slower end-to-end so far: 32.6 vs "
+                        "36.5 img/s; per-op fwd wins, bwd loses)")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the generator forwards "
                         "(fits larger batches in HBM)")
@@ -138,9 +150,15 @@ def main():
 
         pallas_norm.enable(True)
 
+    if args.pallas_conv:
+        from cyclegan_tpu.ops import pallas_conv
+
+        pallas_conv.enable(True)
+
     train_step, state, real_a, real_b, n_devices = build_step(
         args.batch, args.image_size, args.dtype, args.model_config,
         remat=args.remat, paired=args.paired,
+        tpu_layout=(args.layout == "nhcw" and not args.paired),
     )
 
     short = max(2, args.warmup)
@@ -161,6 +179,8 @@ def main():
                     f"{args.image_size}px_b{args.batch}_{args.dtype}"
                     + ("_resnet" if "resnet" in str(args.model_config) else "")
                     + ("_pallas" if args.pallas else "")
+                    + ("_convkernel" if args.pallas_conv else "")
+                    + ("_nhcw" if args.layout == "nhcw" else "")
                     + ("_remat" if args.remat else "")
                     + ("_paired" if args.paired else "")
                 ),

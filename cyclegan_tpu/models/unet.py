@@ -30,6 +30,7 @@ from cyclegan_tpu.models.base import (
 from cyclegan_tpu.ops import (
     apply_activation,
     avg_pool2x2,
+    concat_channels,
     conv2d,
     conv2d_transpose,
     upsample_nearest_2x,
@@ -155,7 +156,7 @@ def unet_generator(config: Mapping[str, Any]) -> Model:
                     p["convt_norm"], s["convt_norm"], x, norm, train
                 )
                 x = jax.nn.relu(x)
-            x = jnp.concatenate([skip, x], axis=-1)
+            x = concat_channels([skip, x])
             x, level_s["dc"] = _apply_double_conv(
                 p["dc"], s["dc"], x, norm, use_dropout, train, take_rngs()
             )
@@ -228,7 +229,7 @@ def strided_unet(config: Mapping[str, Any]) -> Model:
         x = conv2d(x, params["bottom"]["w"], params["bottom"].get("b"), stride=2)
         for p, s, skip in zip(params["up"], state["up"], skips):
             x = conv2d_transpose(x, p["convt"]["w"], p["convt"].get("b"), stride=2)
-            x = jnp.concatenate([skip, x], axis=-1)
+            x = concat_channels([skip, x])
             x, ns = apply_norm(p["norm"], s["norm"], x, norm, train)
             x = jax.nn.relu(x)
             new_state["up"].append({"norm": ns})

@@ -5,7 +5,9 @@ shardable under pjit. Parameter-creating layers live in
 ``cyclegan_tpu.ops.layers``.
 """
 
+from cyclegan_tpu.ops import layout
 from cyclegan_tpu.ops.activations import apply_activation, leaky_relu
+from cyclegan_tpu.ops.layout import concat_channels
 from cyclegan_tpu.ops.conv import conv2d, conv2d_transpose
 from cyclegan_tpu.ops.norm import batch_norm_stats, instance_norm
 from cyclegan_tpu.ops.pad import reflection_pad2d
@@ -14,6 +16,8 @@ from cyclegan_tpu.ops.resize import resize_bilinear, upsample_nearest_2x
 
 __all__ = [
     "apply_activation",
+    "concat_channels",
+    "layout",
     "leaky_relu",
     "conv2d",
     "conv2d_transpose",

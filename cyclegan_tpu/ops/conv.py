@@ -1,4 +1,4 @@
-"""Convolution ops with TF-compatible 'SAME' semantics, NHWC layout.
+"""Convolution ops with TF-compatible 'SAME' semantics.
 
 These map directly onto the TPU MXU via XLA's convolution lowering; the
 framework keeps them large and batched (no per-sample Python loops) so XLA
@@ -7,6 +7,12 @@ input dtype: the TPU MXU natively accumulates bf16 products in f32 before
 the store, so the bf16 path keeps f32 accumulation without an explicit
 ``preferred_element_type`` (which would break the conv transpose rule under
 mixed cotangent dtypes).
+
+Activations are NHWC by default; under the scoped NHCW layout
+(ops/layout.py) the same functions consume/produce ``[B, H, C, W]``
+tensors, and bf16 stride-1 SAME convs dispatch to the lane-dense Pallas
+kernel (ops/pallas_conv.py) — the small-channel U-Net layers where XLA's
+NHWC conv leaves the MXU 7/8 idle.
 """
 
 from typing import Optional, Tuple
@@ -14,10 +20,15 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from jax import lax
 
+from cyclegan_tpu.ops import layout
+
 # NHWC activations, HWIO kernels.
 _DN_CONV = ("NHWC", "HWIO", "NHWC")
 # Transpose-conv kernels are stored TF-style (kh, kw, C_out, C_in) = HWOI.
 _DN_CONV_T = ("NHWC", "HWOI", "NHWC")
+# Lane-dense layout: W innermost, same kernel storage.
+_DN_CONV_CF = ("NHCW", "HWIO", "NHCW")
+_DN_CONV_T_CF = ("NHCW", "HWOI", "NHCW")
 
 
 def _precision_for(x: jnp.ndarray):
@@ -36,13 +47,40 @@ def conv2d(
     stride: int = 1,
     padding: str = "SAME",
 ) -> jnp.ndarray:
-    """2-D convolution, NHWC x HWIO -> NHWC.
+    """2-D convolution, HWIO kernels, activations in the active layout.
 
     ``padding='SAME'`` follows the TF convention (odd total padding goes to
     the bottom/right), which is also XLA's 'SAME' — this is what makes the
     stride-2 paths of the reference's strided_unet/discriminators
     (cyclegan/unet.py:54, cyclegan/resnet.py:50,97) numerically reproducible.
     """
+    if layout.is_nhcw():
+        if (
+            stride == 1
+            and padding == "SAME"
+            and x.dtype == jnp.bfloat16
+        ):
+            from cyclegan_tpu.ops import pallas_conv
+
+            if pallas_conv.is_enabled() and pallas_conv.profitable(
+                x.shape[1], x.shape[3], kernel.shape[2], kernel.shape[3],
+                kernel.shape[0],
+            ):
+                y = pallas_conv.conv2d_same_nhcw(x, kernel)
+                if bias is not None:
+                    y = y + layout.channel_param(bias)
+                return y.astype(x.dtype)
+        out = lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=_DN_CONV_CF,
+            precision=_precision_for(x),
+        )
+        if bias is not None:
+            out = out + layout.channel_param(bias)
+        return out.astype(x.dtype)
     out = lax.conv_general_dilated(
         x,
         kernel,
@@ -94,9 +132,9 @@ def conv2d_transpose(
         window_strides=(1, 1),
         padding=(pad_h, pad_w),
         lhs_dilation=(stride, stride),
-        dimension_numbers=_DN_CONV_T,
+        dimension_numbers=_DN_CONV_T_CF if layout.is_nhcw() else _DN_CONV_T,
         precision=_precision_for(x),
     )
     if bias is not None:
-        out = out + bias
+        out = out + (layout.channel_param(bias) if layout.is_nhcw() else bias)
     return out.astype(x.dtype)

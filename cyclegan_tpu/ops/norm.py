@@ -29,28 +29,30 @@ def instance_norm(
     (``cyclegan_tpu.ops.pallas_norm.enable()``), dispatch goes to the
     2-pass streaming kernel instead.
     """
-    from cyclegan_tpu.ops import pallas_norm
+    from cyclegan_tpu.ops import layout, pallas_norm
 
-    if pallas_norm.is_enabled() and pallas_norm.profitable(x.shape[-1]):
+    if (not layout.is_nhcw() and pallas_norm.is_enabled()
+            and pallas_norm.profitable(x.shape[-1])):
         return pallas_norm.pallas_instance_norm(x, gamma, beta, eps)
+    axes = layout.spatial_axes()
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
     if x.dtype == jnp.bfloat16:
         # perf path: single-sweep statistics — E[x^2]-E[x]^2 lets XLA fuse
         # both reductions into one pass over the activation (profiling
         # showed the two-pass form's convert+reduce fusions at ~23% of the
         # train step). f32 accumulators; bf16 inputs carry ~3 significant
         # digits so the cancellation is well inside input noise.
-        sq_mean = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
+        sq_mean = jnp.mean(xf * xf, axis=axes, keepdims=True)
         var = jnp.maximum(sq_mean - mean * mean, 0.0)
     else:
         # parity path (f32): two-pass variance, bit-matching tf.nn.moments
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
     y = (xf - mean) * lax.rsqrt(var + eps)
     if gamma is not None:
-        y = y * gamma
+        y = y * layout.channel_param(gamma)
     if beta is not None:
-        y = y + beta
+        y = y + layout.channel_param(beta)
     return y.astype(x.dtype)
 
 
@@ -73,18 +75,26 @@ def batch_norm_stats(
     The reference exposes batchnorm as the ``normalization: batchnorm``
     config option (cyclegan/unet.py:28-29,55-57).
     """
+    from cyclegan_tpu.ops import layout
+
+    sp = layout.spatial_axes()
+    axes = (0,) + sp
     xf = x.astype(jnp.float32)
     if train:
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.mean(
+            jnp.square(xf - layout.channel_param(mean)), axis=axes
+        )
         new_mean = moving_mean * momentum + mean * (1.0 - momentum)
         new_var = moving_var * momentum + var * (1.0 - momentum)
     else:
         mean, var = moving_mean, moving_var
         new_mean, new_var = moving_mean, moving_var
-    y = (xf - mean) * lax.rsqrt(var + eps)
+    y = (xf - layout.channel_param(mean)) * lax.rsqrt(
+        layout.channel_param(var) + eps
+    )
     if gamma is not None:
-        y = y * gamma
+        y = y * layout.channel_param(gamma)
     if beta is not None:
-        y = y + beta
+        y = y + layout.channel_param(beta)
     return y.astype(x.dtype), new_mean, new_var

@@ -2,6 +2,8 @@
 
 import jax.numpy as jnp
 
+from cyclegan_tpu.ops import layout
+
 
 def reflection_pad2d(x: jnp.ndarray, padding=(1, 1)) -> jnp.ndarray:
     """Reflect-pad the spatial dims of an NHWC tensor.
@@ -11,8 +13,8 @@ def reflection_pad2d(x: jnp.ndarray, padding=(1, 1)) -> jnp.ndarray:
     and W by w_pad using 'REFLECT' (edge not repeated) semantics.
     """
     w_pad, h_pad = padding
-    return jnp.pad(
-        x,
-        ((0, 0), (h_pad, h_pad), (w_pad, w_pad), (0, 0)),
-        mode="reflect",
-    )
+    if layout.is_nhcw():
+        pads = ((0, 0), (h_pad, h_pad), (0, 0), (w_pad, w_pad))
+    else:
+        pads = ((0, 0), (h_pad, h_pad), (w_pad, w_pad), (0, 0))
+    return jnp.pad(x, pads, mode="reflect")

@@ -1,0 +1,363 @@
+"""Pallas stride-1 SAME convolution in a lane-dense NHCW layout.
+
+Why this kernel exists: the default recipe's U-Nets run 16-64-channel
+convolutions (configs/cycle.yaml; reference architecture
+cyclegan/unet.py:81-124). XLA's TPU conv lowering keeps channels in the
+128-wide lane dimension, so a 16-channel layer leaves 7/8 of the MXU
+columns idle — measured ~12% logical MFU on the train step (BASELINE.md).
+
+This kernel flips the orientation: **spatial in lanes, channels in
+sublanes**. Activations pass through as ``[B, H, C, W]`` ("NHCW", W
+innermost); per R-row group the conv is one dense matmul
+
+    y[co, r*W + w] = sum_k  W2[co, k] . patches[k, r*W + w]
+
+where ``patches[(dy*K+dx)*C + ci, r*W + w] = x_pad[h0+r+dy, ci, dx+w]``
+is built from K*K*R aligned ``[C, W]`` block copies — no gather, no
+transpose; C is padded to a multiple of 16 (the bf16 sublane tile) so
+every copy lands on a sublane boundary. The contraction depth K*K*C is
+>= 256 for every layer of the default recipe and N = R*W lanes is a
+multiple of 128, so the systolic array runs dense where XLA ran at 1/8
+occupancy.
+
+Halo handling: overlapping input row-slabs are not expressible as one
+BlockSpec (index maps are in block units), so the kernel takes R+K-1
+single-row refs, each a ``[1, C, Wp]`` block of the padded input with its
+own index map — Pallas pipelines/double-buffers them like any other
+input.
+
+Backward is a custom VJP:
+- dX is the same kernel with the spatially-flipped, ci<->co-swapped
+  kernel under mirrored SAME padding (the conv-transpose identity, same
+  derivation as ops/conv.py:72-84);
+- dW contracts saved input patches against dY over all spatial positions
+  — [KKC, S] x [S, Cout] accumulated in an f32 VMEM block revisited
+  across the grid.
+
+Scope: stride-1 'SAME' convs with C_out a multiple of 16 — the U-Net
+double-conv workhorse. `ops.conv2d` dispatches here (NHWC in/out, with
+layout transposes at the boundary) when `enable()`d, the dtype is bf16,
+and `profitable()` says the shape wins.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ENABLED = False
+_INTERPRET = False  # set True in tests to run kernels on CPU
+
+
+def enable(on: bool = True) -> None:
+    global _ENABLED
+    _ENABLED = on
+
+
+def is_enabled() -> bool:
+    return _ENABLED
+
+
+def set_interpret(on: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = on
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def profitable(height: int, width: int, cin: int, cout: int,
+               kernel: int) -> bool:
+    """Dispatch gate.
+
+    Lane-dense rows need W a multiple of 128; the win over XLA's conv
+    exists where C_out under-fills XLA's 128 lanes; C_out must be a
+    sublane multiple for the output row writes.
+    """
+    return (
+        width % 128 == 0
+        and height % 2 == 0
+        and cout % 16 == 0
+        and cout <= 64
+        and kernel * kernel * _round_up(cin, 16) >= 128
+    )
+
+
+def _tf_same_pad(kernel: int) -> Tuple[int, int]:
+    """TF 'SAME' (pad_before, pad_after) for stride 1 (ops/conv.py:59)."""
+    pad_total = kernel - 1
+    pad_before = pad_total // 2
+    return pad_before, pad_total - pad_before
+
+
+def _choose_rows(height: int, width: int, kkc: int, itemsize: int) -> int:
+    """Rows per grid step: target ~4k lanes of output per matmul, capped
+    so the patches scratch stays within ~3.5 MB of VMEM, while dividing H
+    evenly (static shapes everywhere)."""
+    vmem_lanes = (3_500_000 // (kkc * itemsize) // 128) * 128
+    target = max(1, min(4096, vmem_lanes) // width)
+    for cand in range(min(target, height), 0, -1):
+        if height % cand == 0:
+            return cand
+    return 1
+
+
+def _conv_kernel(*refs, K, C, Cout, R, W, n_rows):
+    """refs = row_0..row_{n_rows-1}, w2_ref, out_ref, patches, acc."""
+    rows, (w2_ref, out_ref, patches) = refs[:n_rows], refs[n_rows:]
+    for r in range(R):
+        for dy in range(K):
+            src = rows[r + dy]
+            for dx in range(K):
+                k0 = (dy * K + dx) * C
+                patches[k0:k0 + C, r * W:(r + 1) * W] = src[0, :, dx:dx + W]
+    acc = jax.lax.dot_general(
+        w2_ref[:, :],
+        patches[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+    for r in range(R):
+        out_ref[0, r * Cout:(r + 1) * Cout, :] = acc[:, r * W:(r + 1) * W]
+
+
+def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
+                      W: int) -> jnp.ndarray:
+    """xp: [B, Hp, C, W_lane] spatially padded NHCW (Hp = H + K - 1,
+    W_lane >= W + K - 1). w2: [Cout, K*K*C]. Returns [B, H, Cout, W]."""
+    B, Hp, C, W_lane = xp.shape
+    Cout = w2.shape[0]
+    R = _choose_rows(H, W, K * K * C, xp.dtype.itemsize)
+    n_rows = R + K - 1
+    grid = (B, H // R)
+
+    xp_rows = xp.reshape(B, Hp * C, W_lane)
+
+    def row_spec(j):
+        return pl.BlockSpec(
+            (1, C, W_lane),
+            lambda b, i, j=j: (b, i * R + j, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec(j) for j in range(n_rows)]
+        + [
+            pl.BlockSpec(
+                (Cout, K * K * C), lambda b, i: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R * Cout, W), lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, (H // R) * R * Cout, W), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((K * K * C, R * W), xp.dtype)],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * K * K * C * Cout,
+            bytes_accessed=(B * Hp * C * W_lane + B * H * Cout * W)
+            * xp.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(*([xp_rows] * n_rows), w2)
+    return out.reshape(B, H, Cout, W)
+
+
+def _dw_kernel(*refs, K, C, Cout, R, W, n_rows):
+    """Accumulate dW[KKC, Cout] over the grid.
+
+    refs = row_0..row_{n_rows-1} (input slab rows), dy_ref, dw_ref
+    (revisited output), patches scratch, acc scratch (f32).
+    """
+    rows = refs[:n_rows]
+    dy_ref, dw_ref, patches, acc = refs[n_rows:]
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    for r in range(R):
+        for dyy in range(K):
+            src = rows[r + dyy]
+            for dx in range(K):
+                k0 = (dyy * K + dx) * C
+                patches[k0:k0 + C, r * W:(r + 1) * W] = src[0, :, dx:dx + W]
+
+    # grads for these R rows: [R*Cout, W] -> [Cout, R*W] view via per-row
+    # lane placement matching patches
+    part = jax.lax.dot_general(
+        patches[:, :],
+        _dy_as_lanes(dy_ref, R, Cout, W),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        acc[:, :] = jnp.zeros_like(acc)
+
+    acc[:, :] += part
+
+    @pl.when(
+        jnp.logical_and(
+            b == pl.num_programs(0) - 1, i == pl.num_programs(1) - 1
+        )
+    )
+    def _():
+        dw_ref[:, :] = acc[:, :]
+
+
+def _dy_as_lanes(dy_ref, R, Cout, W):
+    """[1, R*Cout, W] block -> [Cout, R*W] matching patches' lane layout."""
+    parts = [dy_ref[0, r * Cout:(r + 1) * Cout, :] for r in range(R)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
+                    W: int, Cout: int) -> jnp.ndarray:
+    """dW accumulation. xp: [B, Hp, C, W_lane]; dy: [B, H, Cout, W].
+    Returns [K*K*C, Cout] f32."""
+    B, Hp, C, W_lane = xp.shape
+    R = _choose_rows(H, W, K * K * C, xp.dtype.itemsize)
+    n_rows = R + K - 1
+    grid = (B, H // R)
+    xp_rows = xp.reshape(B, Hp * C, W_lane)
+    dy_rows = dy.reshape(B, H * Cout, W)
+
+    def row_spec(j):
+        return pl.BlockSpec(
+            (1, C, W_lane),
+            lambda b, i, j=j: (b, i * R + j, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _dw_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec(j) for j in range(n_rows)]
+        + [
+            pl.BlockSpec(
+                (1, R * Cout, W), lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (K * K * C, Cout), lambda b, i: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((K * K * C, Cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K * K * C, R * W), xp.dtype),
+            pltpu.VMEM((K * K * C, Cout), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * K * K * C * Cout,
+            bytes_accessed=(B * Hp * C * W_lane + B * H * Cout * W)
+            * xp.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(*([xp_rows] * n_rows), dy_rows)
+
+
+def _pad_nhcw(x: jnp.ndarray, K: int, pt: int, pleft: int) -> jnp.ndarray:
+    """Zero-pad H by (pt, K-1-pt) and W by (pleft, lane-rounded rest)."""
+    B, H, C, W = x.shape
+    pb = K - 1 - pt
+    W_lane = _round_up(W + K - 1, 128)
+    return jnp.pad(x, ((0, 0), (pt, pb), (0, 0),
+                       (pleft, W_lane - W - pleft)))
+
+
+def _repack(w_hwio: jnp.ndarray, C_pad: int, flip: bool,
+            swap: bool) -> jnp.ndarray:
+    """HWIO -> [Cout, K*K*C_pad] in patch order (dy-major, dx, ci)."""
+    if flip:
+        w_hwio = w_hwio[::-1, ::-1]
+    if swap:
+        w_hwio = jnp.swapaxes(w_hwio, 2, 3)
+    K, _, Cin, Cout = w_hwio.shape
+    w = jnp.pad(w_hwio, ((0, 0), (0, 0), (0, C_pad - Cin), (0, 0)))
+    return jnp.transpose(w, (3, 0, 1, 2)).reshape(Cout, K * K * C_pad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def conv2d_same_nhcw(x: jnp.ndarray, w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """Stride-1 TF-'SAME' conv. x: [B, H, C, W] NHCW; w: [K, K, C, Cout]
+    HWIO. Returns [B, H, Cout, W]. C_out must be a multiple of 16; C is
+    padded internally."""
+    return _conv_fwd_impl(x, w_hwio)
+
+
+def _conv_fwd_impl(x, w_hwio):
+    K = int(w_hwio.shape[0])
+    B, H, C, W = x.shape
+    C_pad = _round_up(C, 16)
+    pt, _ = _tf_same_pad(K)
+    xi = x if C == C_pad else jnp.pad(x, ((0, 0), (0, 0), (0, C_pad - C),
+                                          (0, 0)))
+    xp = _pad_nhcw(xi, K, pt, pt)
+    w2 = _repack(w_hwio.astype(x.dtype), C_pad, flip=False, swap=False)
+    return _conv_nhcw_padded(xp, w2, K, H, W)
+
+
+def _conv_fwd_rule(x, w_hwio):
+    return _conv_fwd_impl(x, w_hwio), (x, w_hwio)
+
+
+def _conv_bwd_rule(res, g):
+    x, w_hwio = res
+    K = int(w_hwio.shape[0])
+    B, H, C, W = x.shape
+    Cin_pad = _round_up(C, 16)
+    Cout = int(w_hwio.shape[3])
+    pt, pb = _tf_same_pad(K)
+
+    # dX: conv of dY with flipped, ci<->co-swapped kernel; transposed
+    # padding (K-1-pt before). Result has Cin_pad channels; slice to C.
+    w_t = _repack(w_hwio.astype(g.dtype), _round_up(Cout, 16), flip=True,
+                  swap=True)  # [Cin, K*K*Cout_pad] -- need Cin padded rows
+    if C != Cin_pad:
+        w_t = jnp.pad(w_t, ((0, Cin_pad - C), (0, 0)))
+    gi = (g if Cout % 16 == 0
+          else jnp.pad(g, ((0, 0), (0, 0), (0, _round_up(Cout, 16) - Cout),
+                           (0, 0))))
+    gp = _pad_nhcw(gi, K, K - 1 - pt, K - 1 - pt)
+    dx = _conv_nhcw_padded(gp, w_t, K, H, W)[:, :, :C, :]
+
+    # dW: patches(x) . dY
+    xi = x if C == Cin_pad else jnp.pad(
+        x, ((0, 0), (0, 0), (0, Cin_pad - C), (0, 0)))
+    xp = _pad_nhcw(xi, K, pt, pt)
+    dw_flat = _conv_dw_padded(xp, g.astype(x.dtype), K, H, W, Cout)
+    dw = dw_flat.reshape(K, K, Cin_pad, Cout)[:, :, :C, :]
+    return dx.astype(x.dtype), dw.astype(w_hwio.dtype)
+
+
+conv2d_same_nhcw.defvjp(_conv_fwd_rule, _conv_bwd_rule)
+
+
+def conv2d_nhwc_fused(x: jnp.ndarray, kernel: jnp.ndarray,
+                      bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """NHWC wrapper: transpose to NHCW, run the lane-dense kernel,
+    transpose back. Drop-in for the `ops.conv2d` stride-1 SAME case."""
+    x_cf = jnp.swapaxes(x, 2, 3)  # [B, H, C, W]
+    y_cf = conv2d_same_nhcw(x_cf, kernel)
+    y = jnp.swapaxes(y_cf, 2, 3)
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)

@@ -3,6 +3,8 @@
 import jax
 import jax.numpy as jnp
 
+from cyclegan_tpu.ops import layout
+
 
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbour 2x upsample, matching Keras ``UpSampling2D()``
@@ -11,6 +13,12 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     Implemented with broadcast+reshape (no gather), which XLA lowers to a
     cheap layout change on TPU.
     """
+    if layout.is_nhcw():
+        n, h, c, w = x.shape
+        out = jnp.broadcast_to(
+            x[:, :, None, :, :, None], (n, h, 2, c, w, 2)
+        )
+        return out.reshape(n, 2 * h, c, 2 * w)
     n, h, w, c = x.shape
     out = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
     return out.reshape(n, 2 * h, 2 * w, c)

@@ -124,6 +124,7 @@ def _forward_losses(
     stop_grads: bool,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    tpu_layout: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Shared forward set + losses (reference: validate_step,
     cyclegan/model.py:91-134).
@@ -137,6 +138,19 @@ def _forward_losses(
     params stay f32 — the cast is differentiable, so gradients come back
     f32. Losses are always computed in f32.
     """
+    if tpu_layout:
+        # Lane-dense NHCW execution (ops/layout.py): transpose the batch
+        # once here; every op below consults the scoped flag. Pure
+        # execution detail -- params, losses and metrics are unchanged.
+        from cyclegan_tpu.ops import layout as _layout
+
+        with _layout.nhcw():
+            return _forward_losses(
+                params, model_state, models, loss_obj, loss_weights,
+                _layout.to_nhcw(real_a), _layout.to_nhcw(real_b),
+                train, rng, stop_grads, compute_dtype, remat,
+                tpu_layout=False,
+            )
     sg = jax.lax.stop_gradient if stop_grads else (lambda x: x)
     if compute_dtype != jnp.float32:
         params = _cast_floats(params, compute_dtype)
@@ -372,6 +386,7 @@ def make_validate_step(
     mesh=None,
     mesh_axis: str = "data",
     compute_dtype: str = "float32",
+    tpu_layout: bool = False,
 ) -> Callable:
     """Build the jitted eval step (reference: validate_step with
     training=False, cyclegan/model.py:91-134, called at :219-223).
@@ -400,6 +415,7 @@ def make_validate_step(
             rng=None,
             stop_grads=False,
             compute_dtype=cdtype,
+            tpu_layout=tpu_layout,
         )
         return metrics
 
@@ -425,6 +441,7 @@ def make_train_step(
     compute_dtype: str = "float32",
     remat: bool = False,
     paired: bool = False,
+    tpu_layout: bool = False,
 ) -> Callable:
     """Build the jitted train step: one forward set, ONE backward pass,
     four optimizer updates (reference: train_step, cyclegan/model.py:136-154).
@@ -476,6 +493,7 @@ def make_train_step(
                 stop_grads=True,
                 compute_dtype=cdtype,
                 remat=remat,
+                tpu_layout=tpu_layout,
             )
         return surrogate, (metrics, new_model_state)
 
@@ -533,6 +551,7 @@ def make_train_multi_step(
     compute_dtype: str = "float32",
     remat: bool = False,
     paired: bool = False,
+    tpu_layout: bool = False,
 ) -> Callable:
     """Build a jitted K-step trainer: ``(state, real_a, real_b) ->
     (state, stacked_metrics)`` where the batch leading dim is the step

@@ -1,0 +1,127 @@
+"""Per-layer micro-bench: lane-dense Pallas conv vs XLA conv (real TPU).
+
+Same scan-wrapped marginal-chain methodology as scripts/probe_mxu.py
+(see its docstring for why anything simpler measures the tunnel or gets
+DCE'd). Compares forward-only and forward+backward per dispatched layer
+shape of the default recipe.
+
+Run:  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_pallas_conv.py
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cyclegan_tpu.ops import conv2d
+from cyclegan_tpu.ops import pallas_conv
+
+ITERS = 32
+
+SHAPES = [
+    # (B, H, W, Cin, Cout, K) — dispatched shapes, full batch 8 sizes
+    (8, 256, 256, 3, 16, 4),
+    (8, 256, 256, 16, 16, 4),
+    (8, 128, 128, 16, 32, 4),
+    (8, 128, 128, 32, 32, 4),
+    (8, 128, 128, 96, 32, 4),
+    (8, 256, 256, 48, 16, 4),
+    (8, 256, 256, 3, 16, 7),
+    (8, 256, 256, 16, 16, 7),
+    (8, 128, 128, 16, 32, 5),
+    (8, 128, 128, 32, 32, 5),
+    (8, 128, 128, 96, 32, 3),
+    (8, 256, 256, 48, 16, 5),
+]
+
+
+def chain_time(fn, x, calls=4, warmup=2):
+    y = fn(x)
+    _ = np.asarray(jax.tree_util.tree_leaves(y)[0]).ravel()[0]
+
+    def run(n):
+        t0 = time.perf_counter()
+        z = x
+        for _ in range(n):
+            z = fn(z)
+        _ = np.asarray(jax.tree_util.tree_leaves(z)[0]).ravel()[0]
+        return time.perf_counter() - t0
+
+    run(warmup)
+    t_short = run(warmup)
+    t_long = run(warmup + calls)
+    return max(t_long - t_short, 1e-9) / (calls * ITERS)
+
+
+def scanned(step):
+    @jax.jit
+    def fn(x):
+        y, _ = jax.lax.scan(lambda c, _: (step(c), None), x, None,
+                            length=ITERS)
+        return y
+    return fn
+
+
+def fold(y, x):
+    f = jnp.maximum(y, 0.0).astype(jnp.float32).sum(axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) * 0.999 + f * 1e-9).astype(x.dtype)
+
+
+def bench_shape(b, h, w, cin, cout, k, backward: bool):
+    wt = jnp.asarray(
+        np.random.default_rng(0).normal(size=(k, k, cin, cout)) * 0.05,
+        jnp.bfloat16,
+    )
+    x0 = jnp.ones((b, h, w, cin), jnp.bfloat16)
+    flops = 2 * b * h * w * k * k * cin * cout
+    if backward:
+        flops *= 3  # dX + dW each cost ~a forward
+
+    def mk(op):
+        if not backward:
+            return lambda x: fold(op(x, wt), x)
+
+        def step(x):
+            def loss(x, wv):
+                return jnp.sum(
+                    jnp.square(jnp.maximum(op(x, wv), 0.0))
+                    .astype(jnp.float32)
+                )
+
+            dx, dw = jax.grad(loss, argnums=(0, 1))(x, wt)
+            f = dx.astype(jnp.float32).sum(axis=-1, keepdims=True)
+            s = dw.astype(jnp.float32).sum() * 1e-12
+            return (x.astype(jnp.float32) * 0.999 + f * 1e-9 + s).astype(
+                x.dtype
+            )
+
+        return step
+
+    t_xla = chain_time(scanned(mk(lambda x, wv: conv2d(x, wv, stride=1))), x0)
+    t_pl = chain_time(scanned(mk(pallas_conv.conv2d_nhwc_fused)), x0)
+    tag = "fwd+bwd" if backward else "fwd    "
+    print(
+        f"[{b}x{h}x{w}x{cin:3d}->{cout:3d} k{k}] {tag} "
+        f"xla {t_xla * 1e6:8.1f}us ({flops / t_xla / 1e12:6.2f}T)  "
+        f"pallas {t_pl * 1e6:8.1f}us ({flops / t_pl / 1e12:6.2f}T)  "
+        f"speedup {t_xla / t_pl:5.2f}x",
+        flush=True,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backward", action="store_true")
+    ap.add_argument("--only", type=int, default=None,
+                    help="bench a single SHAPES index")
+    args = ap.parse_args()
+    print(f"devices: {jax.devices()}", flush=True)
+    shapes = SHAPES if args.only is None else [SHAPES[args.only]]
+    for shape in shapes:
+        bench_shape(*shape, backward=args.backward)
+
+
+if __name__ == "__main__":
+    main()
