@@ -76,15 +76,20 @@ def profitable(height: int, width: int, cin: int, cout: int,
                kernel: int) -> bool:
     """Dispatch gate.
 
-    Lane-dense rows need W a multiple of 128; the win over XLA's conv
-    exists where C_out under-fills XLA's 128 lanes; C_out must be a
-    sublane multiple for the output row writes.
+    Lane-dense rows need W a multiple of 128; C_out must be a sublane
+    multiple for the output row writes. The cin cap is empirical
+    (scripts/bench_pallas_conv.py --backward, TPU v5e): with cin <= 16
+    this kernel wins 1.26-2.55x fwd+bwd on every dispatched recipe shape
+    (XLA leaves the MXU contraction starved at k*k*16 <= 784); from
+    cin >= 32 XLA's own lowering reaches 23-64 TFLOP/s and wins (0.59-
+    0.98x), so those shapes stay on XLA.
     """
     return (
         width % 128 == 0
         and height % 2 == 0
         and cout % 16 == 0
         and cout <= 64
+        and cin <= 16
         and kernel * kernel * _round_up(cin, 16) >= 128
     )
 
@@ -195,10 +200,12 @@ def _dw_kernel(*refs, K, C, Cout, R, W, n_rows):
                 patches[k0:k0 + C, r * W:(r + 1) * W] = src[0, :, dx:dx + W]
 
     # grads for these R rows: [R*Cout, W] -> [Cout, R*W] view via per-row
-    # lane placement matching patches
+    # lane placement matching patches. Output orientation [Cout, KKC]
+    # keeps KKC (>=256) in the 128-wide lane dim — the [KKC, Cout]
+    # orientation would run the MXU at Cout/128 occupancy.
     part = jax.lax.dot_general(
-        patches[:, :],
         _dy_as_lanes(dy_ref, R, Cout, W),
+        patches[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -227,7 +234,8 @@ def _dy_as_lanes(dy_ref, R, Cout, W):
 def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
                     W: int, Cout: int) -> jnp.ndarray:
     """dW accumulation. xp: [B, Hp, C, W_lane]; dy: [B, H, Cout, W].
-    Returns [K*K*C, Cout] f32."""
+    Returns [Cout, K*K*C] f32 (lane-dense orientation; transposed by the
+    caller)."""
     B, Hp, C, W_lane = xp.shape
     R = _choose_rows(H, W, K * K * C, xp.dtype.itemsize)
     n_rows = R + K - 1
@@ -256,13 +264,13 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
             )
         ],
         out_specs=pl.BlockSpec(
-            (K * K * C, Cout), lambda b, i: (0, 0),
+            (Cout, K * K * C), lambda b, i: (0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((K * K * C, Cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Cout, K * K * C), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((K * K * C, R * W), xp.dtype),
-            pltpu.VMEM((K * K * C, Cout), jnp.float32),
+            pltpu.VMEM((Cout, K * K * C), jnp.float32),
         ],
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
@@ -344,7 +352,7 @@ def _conv_bwd_rule(res, g):
         x, ((0, 0), (0, 0), (0, Cin_pad - C), (0, 0)))
     xp = _pad_nhcw(xi, K, pt, pt)
     dw_flat = _conv_dw_padded(xp, g.astype(x.dtype), K, H, W, Cout)
-    dw = dw_flat.reshape(K, K, Cin_pad, Cout)[:, :, :C, :]
+    dw = dw_flat.T.reshape(K, K, Cin_pad, Cout)[:, :, :C, :]
     return dx.astype(x.dtype), dw.astype(w_hwio.dtype)
 
 

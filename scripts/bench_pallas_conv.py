@@ -38,15 +38,20 @@ SHAPES = [
 
 
 def chain_time(fn, x, calls=4, warmup=2):
-    y = fn(x)
-    _ = np.asarray(jax.tree_util.tree_leaves(y)[0]).ravel()[0]
+    """Marginal chained timing over a *scalar* carry: the conv input is
+    closed over (never a scan carry), so XLA can't relayout the big
+    tensor per iteration — carrying it was measured to corrupt odd
+    channel counts (48ch: 110 ms/op for BOTH backends, pure artifact)."""
+    c0 = jnp.zeros((), jnp.float32)
+    y = fn(x, c0)
+    _ = float(y)
 
     def run(n):
         t0 = time.perf_counter()
-        z = x
+        c = c0
         for _ in range(n):
-            z = fn(z)
-        _ = np.asarray(jax.tree_util.tree_leaves(z)[0]).ravel()[0]
+            c = fn(x, c)
+        _ = float(c)
         return time.perf_counter() - t0
 
     run(warmup)
@@ -57,16 +62,11 @@ def chain_time(fn, x, calls=4, warmup=2):
 
 def scanned(step):
     @jax.jit
-    def fn(x):
-        y, _ = jax.lax.scan(lambda c, _: (step(c), None), x, None,
-                            length=ITERS)
-        return y
+    def fn(x, c):
+        out, _ = jax.lax.scan(lambda cc, _: (step(x, cc), None), c, None,
+                              length=ITERS)
+        return out
     return fn
-
-
-def fold(y, x):
-    f = jnp.maximum(y, 0.0).astype(jnp.float32).sum(axis=-1, keepdims=True)
-    return (x.astype(jnp.float32) * 0.999 + f * 1e-9).astype(x.dtype)
 
 
 def bench_shape(b, h, w, cin, cout, k, backward: bool):
@@ -74,27 +74,39 @@ def bench_shape(b, h, w, cin, cout, k, backward: bool):
         np.random.default_rng(0).normal(size=(k, k, cin, cout)) * 0.05,
         jnp.bfloat16,
     )
-    x0 = jnp.ones((b, h, w, cin), jnp.bfloat16)
+    x0 = jnp.asarray(
+        np.random.default_rng(1).normal(size=(b, h, w, cin)), jnp.bfloat16
+    )
     flops = 2 * b * h * w * k * k * cin * cout
     if backward:
         flops *= 3  # dX + dW each cost ~a forward
 
     def mk(op):
         if not backward:
-            return lambda x: fold(op(x, wt), x)
+            def step(x, c):
+                # scalar-perturb the input so the conv depends on the
+                # carry (can't be hoisted); one cheap elementwise pass
+                xe = (x.astype(jnp.float32) * (1.0 + c * 1e-12)).astype(
+                    x.dtype
+                )
+                y = op(xe, wt)
+                return y.astype(jnp.float32).sum() * 1e-9
 
-        def step(x):
+            return step
+
+        def step(x, c):
+            xe = (x.astype(jnp.float32) * (1.0 + c * 1e-12)).astype(x.dtype)
+
             def loss(x, wv):
                 return jnp.sum(
                     jnp.square(jnp.maximum(op(x, wv), 0.0))
                     .astype(jnp.float32)
                 )
 
-            dx, dw = jax.grad(loss, argnums=(0, 1))(x, wt)
-            f = dx.astype(jnp.float32).sum(axis=-1, keepdims=True)
-            s = dw.astype(jnp.float32).sum() * 1e-12
-            return (x.astype(jnp.float32) * 0.999 + f * 1e-9 + s).astype(
-                x.dtype
+            dx, dw = jax.grad(loss, argnums=(0, 1))(xe, wt)
+            return (
+                dx.astype(jnp.float32).sum() * 1e-9
+                + dw.astype(jnp.float32).sum() * 1e-12
             )
 
         return step

@@ -48,6 +48,11 @@ def marginal_chain(fn, x, iters=20, warm=4):
 
 
 def main():
+    tpu_layout = "--nhcw" in sys.argv
+    if "--pallas-conv" in sys.argv:
+        from cyclegan_tpu.ops import pallas_conv
+
+        pallas_conv.enable(True)
     model_config = yaml2namespace("configs/cycle.yaml")
     train_config = yaml2namespace("configs/training_config.yaml")
     models = {
@@ -70,8 +75,21 @@ def main():
     dp = jax.tree_util.tree_map(lambda v: v.astype(DTYPE), state.params["d_A"])
     gs, ds = state.model_state["g_AB"], state.model_state["d_A"]
 
-    g_fwd = jax.jit(lambda x: models["g_AB"].apply(gp, gs, x)[0])
-    d_fwd = jax.jit(lambda x: models["d_A"].apply(dp, ds, x)[0] * 0 + x)
+    from cyclegan_tpu.ops import layout as _layout
+
+    def _scoped(apply_fn, p, s):
+        def fn(x):
+            if not tpu_layout:
+                return apply_fn(p, s, x)[0]
+            with _layout.nhcw():
+                return _layout.from_nhcw(
+                    apply_fn(p, s, _layout.to_nhcw(x))[0]
+                )
+        return jax.jit(fn)
+
+    g_fwd = _scoped(models["g_AB"].apply, gp, gs)
+    _d_raw = _scoped(models["d_A"].apply, dp, ds)
+    d_fwd = jax.jit(lambda x: _d_raw(x) * 0 + x)
 
     t_g = marginal_chain(g_fwd, x)
     t_d = marginal_chain(d_fwd, x)
@@ -81,10 +99,12 @@ def main():
 
     validate = make_validate_step(models, model_config.loss,
                                   dict(model_config.loss_weights),
-                                  compute_dtype="bfloat16")
+                                  compute_dtype="bfloat16",
+                                  tpu_layout=tpu_layout)
     train = make_train_step(models, optimizers, model_config.loss,
                             dict(model_config.loss_weights), donate=False,
-                            compute_dtype="bfloat16")
+                            compute_dtype="bfloat16",
+                            tpu_layout=tpu_layout)
 
     def time_pair(step_fn, iters=15, warm=3):
         def chain(n):
