@@ -137,6 +137,11 @@ def main():
                         "SAME convs to the lane-dense Pallas kernel "
                         "(measured slower end-to-end so far: 32.6 vs "
                         "36.5 img/s; per-op fwd wins, bwd loses)")
+    parser.add_argument("--pallas-resize", action="store_true",
+                        help="within --layout nhcw, dispatch the 2x2 "
+                        "avg-pool and nearest-2x upsample to Pallas "
+                        "kernels (XLA reduce_window/broadcast cost "
+                        "~17 ms/step)")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the generator forwards "
                         "(fits larger batches in HBM)")
@@ -154,6 +159,11 @@ def main():
         from cyclegan_tpu.ops import pallas_conv
 
         pallas_conv.enable(True)
+
+    if args.pallas_resize:
+        from cyclegan_tpu.ops import pallas_resize
+
+        pallas_resize.enable(True)
 
     train_step, state, real_a, real_b, n_devices = build_step(
         args.batch, args.image_size, args.dtype, args.model_config,
@@ -180,6 +190,7 @@ def main():
                     + ("_resnet" if "resnet" in str(args.model_config) else "")
                     + ("_pallas" if args.pallas else "")
                     + ("_convkernel" if args.pallas_conv else "")
+                    + ("_resizekernel" if args.pallas_resize else "")
                     + ("_nhcw" if args.layout == "nhcw" else "")
                     + ("_remat" if args.remat else "")
                     + ("_paired" if args.paired else "")

@@ -62,6 +62,18 @@ def conv2d(
         ):
             from cyclegan_tpu.ops import pallas_conv
 
+            if (
+                kernel.shape[0] == 1
+                and kernel.shape[1] == 1
+                and pallas_conv.is_enabled()
+                and pallas_conv.profitable_1x1(
+                    x.shape[3], x.shape[2], kernel.shape[3]
+                )
+            ):
+                y = pallas_conv.conv1x1_nhcw(x, kernel)
+                if bias is not None:
+                    y = y + layout.channel_param(bias)
+                return y.astype(x.dtype)
             if pallas_conv.is_enabled() and pallas_conv.profitable(
                 x.shape[1], x.shape[3], kernel.shape[2], kernel.shape[3],
                 kernel.shape[0],

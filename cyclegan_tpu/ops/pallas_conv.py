@@ -359,6 +359,184 @@ def _conv_bwd_rule(res, g):
 conv2d_same_nhcw.defvjp(_conv_fwd_rule, _conv_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# 1x1 convolution (the U-Net's final 32->3 / 32->1 projection layers).
+#
+# Motivation (trace, TPU v5e): XLA runs these tiny-channel 1x1 convs and
+# their backwards at 0.4-0.9 TF/s -- ~15 ms/step across the recipe, pure
+# pathology on [8,256,Cout<=3,256] NHCW tensors. Here they are row-block
+# matmuls: y_rows[Cout, W] = W2[Cout, C] @ x_rows[C, W]; no halo, no
+# patch materialization. C_out is padded to the 16-row sublane tile and
+# sliced by the caller.
+# ---------------------------------------------------------------------------
+
+
+def _conv1x1_kernel(x_ref, w2_ref, out_ref, *, C, Cout, R, W):
+    for r in range(R):
+        acc = jax.lax.dot_general(
+            w2_ref[:, :],
+            x_ref[0, r * C:(r + 1) * C, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, r * Cout:(r + 1) * Cout, :] = acc.astype(out_ref.dtype)
+
+
+def _choose_rows_1x1(height: int, width: int, c: int, itemsize: int) -> int:
+    vmem_lanes = (3_500_000 // (c * itemsize) // 128) * 128
+    target = max(1, min(4096, vmem_lanes) // width)
+    for cand in range(min(target, height), 0, -1):
+        if height % cand == 0:
+            return cand
+    return 1
+
+
+def _conv1x1_rows(x: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, H, C, W] NHCW; w2: [Cout_pad, C]. Returns [B, H, Cout_pad, W].
+    C and Cout_pad must be sublane multiples; W a lane multiple."""
+    B, H, C, W = x.shape
+    Cout = w2.shape[0]
+    R = _choose_rows_1x1(H, W, C, x.dtype.itemsize)
+    grid = (B, H // R)
+    x_rows = x.reshape(B, H * C, W)
+    kernel = functools.partial(_conv1x1_kernel, C=C, Cout=Cout, R=R, W=W)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, R * C, W), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout, C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R * Cout, W), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H * Cout, W), x.dtype),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * C * Cout,
+            bytes_accessed=(B * H * (C + Cout) * W) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x_rows, w2)
+    return out.reshape(B, H, Cout, W)
+
+
+def _dw1x1_kernel(x_ref, dy_ref, dw_ref, acc, *, C, Cout, R):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    part = jax.lax.dot_general(
+        _rows_as_lanes(dy_ref, R, Cout),
+        _rows_as_lanes(x_ref, R, C),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        acc[:, :] = jnp.zeros_like(acc)
+
+    acc[:, :] += part
+
+    @pl.when(
+        jnp.logical_and(
+            b == pl.num_programs(0) - 1, i == pl.num_programs(1) - 1
+        )
+    )
+    def _():
+        dw_ref[:, :] = acc[:, :]
+
+
+def _rows_as_lanes(ref, R, C):
+    """[1, R*C, W] block -> [C, R*W]."""
+    parts = [ref[0, r * C:(r + 1) * C, :] for r in range(R)]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _conv1x1_dw(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
+    """dW for the 1x1 conv. x: [B,H,C,W]; dy: [B,H,Cout_pad,W].
+    Returns [Cout_pad, C] f32."""
+    B, H, C, W = x.shape
+    Cout = dy.shape[2]
+    R = _choose_rows_1x1(H, W, C + Cout, x.dtype.itemsize)
+    grid = (B, H // R)
+    kernel = functools.partial(_dw1x1_kernel, C=C, Cout=Cout, R=R)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, R * C, W), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R * Cout, W), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Cout, C), lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Cout, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Cout, C), jnp.float32)],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * W * C * Cout,
+            bytes_accessed=(B * H * (C + Cout) * W) * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x.reshape(B, H * C, W), dy.reshape(B, H * Cout, W))
+
+
+def profitable_1x1(width: int, cin: int, cout: int) -> bool:
+    """1x1 dispatch gate: lane-aligned W and sublane-aligned C_in. Unlike
+    the KxK gate there is no cin cap -- the op is bandwidth-bound and XLA's
+    NHCW lowering for few-output-channel 1x1 convs runs at <1 TF/s."""
+    return width % 128 == 0 and cin % 16 == 0 and cout <= 64
+
+
+def _pad_channels(t: jnp.ndarray, c_pad: int) -> jnp.ndarray:
+    if t.shape[2] == c_pad:
+        return t
+    return jnp.pad(t, ((0, 0), (0, 0), (0, c_pad - t.shape[2]), (0, 0)))
+
+
+@jax.custom_vjp
+def conv1x1_nhcw(x: jnp.ndarray, w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """1x1 stride-1 conv. x: [B,H,C,W] NHCW; w: [1,1,C,Cout] HWIO.
+    Returns [B,H,Cout,W] (unpadded)."""
+    return _conv1x1_fwd_impl(x, w_hwio)
+
+
+def _conv1x1_fwd_impl(x, w_hwio):
+    C, Cout = int(w_hwio.shape[2]), int(w_hwio.shape[3])
+    Cout_pad = _round_up(Cout, 16)
+    w2 = jnp.transpose(w_hwio[0, 0], (1, 0)).astype(x.dtype)  # [Cout, C]
+    if Cout != Cout_pad:
+        w2 = jnp.pad(w2, ((0, Cout_pad - Cout), (0, 0)))
+    y = _conv1x1_rows(x, w2)
+    return y[:, :, :Cout, :] if Cout != Cout_pad else y
+
+
+def _conv1x1_fwd_rule(x, w_hwio):
+    return _conv1x1_fwd_impl(x, w_hwio), (x, w_hwio)
+
+
+def _conv1x1_bwd_rule(res, g):
+    x, w_hwio = res
+    C, Cout = int(w_hwio.shape[2]), int(w_hwio.shape[3])
+    Cout_pad = _round_up(Cout, 16)
+    gp = _pad_channels(g, Cout_pad).astype(x.dtype)
+    # dX: 1x1 conv of g with W^T ([Cout_pad, C] -> w2t [C, Cout_pad])
+    w2t = w_hwio[0, 0].astype(x.dtype)  # [C, Cout]
+    if Cout != Cout_pad:
+        w2t = jnp.pad(w2t, ((0, 0), (0, Cout_pad - Cout)))
+    dx = _conv1x1_rows(gp, w2t)
+    # dW: contract over all spatial positions
+    dw = _conv1x1_dw(x, gp)[:Cout, :]  # [Cout, C]
+    return dx.astype(x.dtype), (
+        jnp.transpose(dw, (1, 0))[None, None].astype(w_hwio.dtype)
+    )
+
+
+conv1x1_nhcw.defvjp(_conv1x1_fwd_rule, _conv1x1_bwd_rule)
+
+
 def conv2d_nhwc_fused(x: jnp.ndarray, kernel: jnp.ndarray,
                       bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """NHWC wrapper: transpose to NHCW, run the lane-dense kernel,

@@ -13,6 +13,12 @@ def avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
     path (cyclegan/unet.py:101).
     """
     if layout.is_nhcw():
+        from cyclegan_tpu.ops import pallas_resize
+
+        if pallas_resize.is_enabled() and pallas_resize.pool_profitable(
+            x.shape[1], x.shape[3], x.shape[2]
+        ):
+            return pallas_resize.avg_pool2x2_nhcw(x)
         window = (1, 2, 1, 2)
     else:
         window = (1, 2, 2, 1)

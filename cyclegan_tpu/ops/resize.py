@@ -14,6 +14,12 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     cheap layout change on TPU.
     """
     if layout.is_nhcw():
+        from cyclegan_tpu.ops import pallas_resize
+
+        if pallas_resize.is_enabled() and pallas_resize.upsample_profitable(
+            x.shape[1], x.shape[3], x.shape[2]
+        ):
+            return pallas_resize.upsample2x_nhcw(x)
         n, h, c, w = x.shape
         out = jnp.broadcast_to(
             x[:, :, None, :, :, None], (n, h, 2, c, w, 2)

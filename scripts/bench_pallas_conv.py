@@ -34,6 +34,12 @@ SHAPES = [
     (8, 128, 128, 32, 32, 5),
     (8, 128, 128, 96, 32, 3),
     (8, 256, 256, 48, 16, 5),
+    # @256^2 32-channel double-conv shapes (trace: XLA runs these at only
+    # 21-25 TF/s, vs 31 TF/s for the same channels @128^2)
+    (8, 256, 256, 32, 32, 4),
+    (8, 256, 256, 32, 32, 5),
+    (8, 256, 256, 80, 32, 4),
+    (8, 256, 256, 80, 32, 5),
 ]
 
 

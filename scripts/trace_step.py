@@ -1,0 +1,163 @@
+"""Capture a jax.profiler device trace of the train step and print the
+per-op time attribution (top fusions/custom-calls, grouped).
+
+Usage:
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/trace_step.py \
+        [--nhcw] [--pallas-conv] [--out /tmp/trace_nhcw]
+
+Parses the TensorBoard trace (trace.json.gz) directly -- no TensorBoard
+needed. Groups XLA ops by their HLO-name prefix so conv / pallas-kernel /
+fusion / transpose / reduce time is attributed separately.
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cyclegan_tpu.config import yaml2namespace
+from cyclegan_tpu.models import create_model
+from cyclegan_tpu.optimizers import get_optimizer
+from cyclegan_tpu.steps import init_train_state, make_train_step
+
+BATCH, SIZE = 8, 256
+
+
+def build(tpu_layout: bool):
+    model_config = yaml2namespace("configs/cycle.yaml")
+    train_config = yaml2namespace("configs/training_config.yaml")
+    models = {
+        "g_AB": create_model(model_config.generator),
+        "g_BA": create_model(model_config.generator),
+        "d_A": create_model(model_config.discriminator),
+        "d_B": create_model(model_config.discriminator),
+    }
+    optimizers = {
+        k: get_optimizer(train_config.g_opt if k.startswith("g")
+                         else train_config.d_opt)
+        for k in models
+    }
+    state = init_train_state(jax.random.PRNGKey(0), models, optimizers)
+    train = make_train_step(models, optimizers, model_config.loss,
+                            dict(model_config.loss_weights), donate=False,
+                            compute_dtype="bfloat16",
+                            tpu_layout=tpu_layout)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (BATCH, SIZE, SIZE, 3))
+                    ).astype(jnp.bfloat16)
+    return train, state, x
+
+
+def group_key(name: str) -> str:
+    """Collapse an HLO op name to an attribution bucket."""
+    n = name.lower()
+    if "custom-call" in n or "pallas" in n or "tpu_custom_call" in n:
+        return "pallas-kernel"
+    if "convolution" in n or "conv" in n:
+        return "conv"
+    if "all-reduce" in n or "psum" in n:
+        return "collective"
+    if "transpose" in n:
+        return "transpose"
+    if "reduce-window" in n:
+        return "reduce-window(pool)"
+    if "reduce" in n:
+        return "reduce"
+    if "scatter" in n or "gather" in n or "dynamic" in n:
+        return "gather/scatter/dyn"
+    if "copy" in n or "bitcast" in n or "reshape" in n:
+        return "copy/reshape"
+    if "fusion" in n:
+        return "fusion(elementwise)"
+    return "other"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nhcw", action="store_true")
+    ap.add_argument("--pallas-conv", action="store_true")
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--out", default="/tmp/trace_step")
+    args = ap.parse_args()
+
+    if args.pallas_conv:
+        from cyclegan_tpu.ops import pallas_conv
+
+        pallas_conv.enable(True)
+
+    train, state, x = build(args.nhcw)
+
+    # warm up (compile) outside the trace
+    s = state
+    for _ in range(3):
+        s, m = train(s, x, x)
+    _ = float(m["gAB_loss"])
+
+    jax.profiler.start_trace(args.out)
+    for _ in range(args.steps):
+        s, m = train(s, x, x)
+    _ = float(m["gAB_loss"])
+    jax.profiler.stop_trace()
+    time.sleep(2)
+
+    traces = sorted(glob.glob(
+        args.out + "/**/*.trace.json.gz", recursive=True))
+    if not traces:
+        print("NO TRACE FILES under", args.out)
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        trace = json.load(f)
+
+    events = trace.get("traceEvents", [])
+    # Find device-side lanes: TPU op events carry 'dur' and a pid whose
+    # process name mentions TPU/device. Fall back to all complete events.
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
+    device_pids = {p for p, n in pid_names.items()
+                   if "tpu" in n.lower() or "device" in n.lower()
+                   or "xla" in n.lower()}
+
+    by_group = collections.Counter()
+    by_name = collections.Counter()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "")
+        dur = e["dur"]
+        # skip the enclosing module/program events (they span everything)
+        if dur > 1e6 or name.startswith(("jit_", "pjit")):
+            continue
+        by_group[group_key(name)] += dur
+        by_name[name] += dur
+        total += dur
+
+    n = max(args.steps, 1)
+    print(f"device pids: {sorted(device_pids)} "
+          f"({ {p: pid_names.get(p) for p in device_pids} })")
+    print(f"total device op time: {total/1e3:.1f} ms "
+          f"({total/1e3/n:.2f} ms/step over {n} steps)\n")
+    print("== by group (ms/step) ==")
+    for g, d in by_group.most_common():
+        print(f"  {g:24s} {d/1e3/n:8.2f}  ({100*d/max(total,1):4.1f}%)")
+    print("\n== top 25 ops (ms/step) ==")
+    for name, d in by_name.most_common(25):
+        print(f"  {d/1e3/n:8.3f}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,23 +14,24 @@ import pytest
 from cyclegan_tpu.ops import conv2d
 from cyclegan_tpu.ops import pallas_conv
 
-# (H, W, Cin, Cout, K) — every distinct dispatched shape of the default
-# configs/cycle.yaml recipe at 256x256 (generator K=4 levels 0-1 and the
-# up-path mirrors; discriminator K=7/5/3 levels), shrunk in H to keep the
-# interpreter fast; H only affects the grid, not the tiling.
+# (H, W, Cin, Cout, K) — recipe layer shapes (configs/cycle.yaml at
+# 256x256; generator K=4, discriminator K=7/5/3), shrunk in H to keep the
+# interpreter fast; H only affects the grid, not the tiling. Shapes with
+# cin > 16 are no longer dispatched (the empirical gate keeps them on
+# XLA) but the kernel must stay numerically correct on them.
 DISPATCHED_SHAPES = [
     (8, 256, 3, 16, 4),    # gen L0 conv1
-    (8, 256, 16, 16, 4),   # gen L0 conv2 / up2 conv2
+    (8, 256, 16, 16, 4),   # gen L0 conv2
     (8, 128, 16, 32, 4),   # gen L1 conv1
-    (8, 128, 32, 32, 4),   # gen L1 conv2 / up1 conv2
-    (8, 128, 96, 32, 4),   # gen up1 conv1 (concat 64+32)
-    (8, 256, 48, 16, 4),   # gen up2 conv1 (concat 32+16)
+    (8, 128, 32, 32, 4),   # gen L1 conv2 (XLA-gated)
+    (8, 128, 96, 32, 4),   # up-path concat shape (XLA-gated)
+    (8, 256, 48, 16, 4),   # up-path concat shape (XLA-gated)
     (4, 256, 3, 16, 7),    # disc L0 conv1
     (4, 256, 16, 16, 7),   # disc L0 conv2
     (4, 128, 16, 32, 5),   # disc L1 conv1
-    (4, 128, 32, 32, 5),   # disc L1 conv2
-    (4, 128, 96, 32, 3),   # disc up0 conv1
-    (4, 256, 48, 16, 5),   # disc up1 conv1
+    (4, 128, 32, 32, 5),   # disc L1 conv2 (XLA-gated)
+    (4, 128, 96, 32, 3),   # up-path concat shape (XLA-gated)
+    (4, 256, 48, 16, 5),   # up-path concat shape (XLA-gated)
 ]
 
 
@@ -49,7 +50,7 @@ def _rand(shape, seed, dtype=jnp.float32):
 
 @pytest.mark.parametrize("h,w,cin,cout,k", DISPATCHED_SHAPES)
 def test_forward_matches_xla(h, w, cin, cout, k):
-    assert pallas_conv.profitable(h, w, cin, cout, k)
+    assert pallas_conv.profitable(h, w, cin, cout, k) == (cin <= 16)
     x = _rand((2, h, w, cin), seed=1)
     wt = _rand((k, k, cin, cout), seed=2) * 0.1
     ref = conv2d(x, wt, stride=1)
@@ -100,4 +101,41 @@ def test_profitable_gates():
     assert not pallas_conv.profitable(64, 64, 32, 64, 4)   # W=64
     assert not pallas_conv.profitable(256, 256, 16, 3, 1)  # head conv
     assert not pallas_conv.profitable(32, 128, 64, 128, 4)  # cout 128
+    assert not pallas_conv.profitable(256, 256, 32, 32, 4)  # cin > 16
     assert pallas_conv.profitable(256, 256, 3, 16, 4)
+
+
+@pytest.mark.parametrize("cin,cout", [(32, 3), (32, 1), (16, 16)])
+def test_conv1x1_forward_and_backward(cin, cout):
+    x = _rand((2, 6, 128, cin), seed=11)
+    wt = _rand((1, 1, cin, cout), seed=12) * 0.1
+    ct = _rand((2, 6, 128, cout), seed=13)
+
+    def xla_op(x, w):
+        return conv2d(x, w, stride=1)
+
+    def pl_op(x, w):
+        import jax.numpy as jnp
+
+        x_cf = jnp.swapaxes(x, 2, 3)
+        y = pallas_conv.conv1x1_nhcw(x_cf, w)
+        return jnp.swapaxes(y, 2, 3)
+
+    ref_out, ref_vjp = jax.vjp(xla_op, x, wt)
+    got_out, got_vjp = jax.vjp(pl_op, x, wt)
+    ref_dx, ref_dw = ref_vjp(ct)
+    got_dx, got_dw = got_vjp(ct)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(ref_dw),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv1x1_gate():
+    assert pallas_conv.profitable_1x1(256, 32, 3)
+    assert pallas_conv.profitable_1x1(128, 16, 1)
+    assert not pallas_conv.profitable_1x1(100, 32, 3)   # W not lane mult
+    assert not pallas_conv.profitable_1x1(256, 3, 16)   # cin not sublane
+    assert not pallas_conv.profitable_1x1(256, 32, 128)  # wide cout
