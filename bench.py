@@ -142,6 +142,10 @@ def main():
                         "avg-pool and nearest-2x upsample to Pallas "
                         "kernels (XLA reduce_window/broadcast cost "
                         "~17 ms/step)")
+    parser.add_argument("--pallas-norm-act", action="store_true",
+                        help="within --layout nhcw, fuse instance-norm + "
+                        "activation into a VMEM-resident Pallas kernel "
+                        "(standalone IN/act ops cost ~27 ms/step)")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the generator forwards "
                         "(fits larger batches in HBM)")
@@ -164,6 +168,11 @@ def main():
         from cyclegan_tpu.ops import pallas_resize
 
         pallas_resize.enable(True)
+
+    if args.pallas_norm_act:
+        from cyclegan_tpu.ops import pallas_norm_act
+
+        pallas_norm_act.enable(True)
 
     train_step, state, real_a, real_b, n_devices = build_step(
         args.batch, args.image_size, args.dtype, args.model_config,
@@ -191,6 +200,7 @@ def main():
                     + ("_pallas" if args.pallas else "")
                     + ("_convkernel" if args.pallas_conv else "")
                     + ("_resizekernel" if args.pallas_resize else "")
+                    + ("_normactkernel" if args.pallas_norm_act else "")
                     + ("_nhcw" if args.layout == "nhcw" else "")
                     + ("_remat" if args.remat else "")
                     + ("_paired" if args.paired else "")

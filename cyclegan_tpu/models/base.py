@@ -103,6 +103,50 @@ def apply_norm(
     return instance_norm(x, gamma, beta), {}
 
 
+def apply_norm_act(
+    params: Params,
+    state: State,
+    x: jnp.ndarray,
+    norm_type: str,
+    train: bool,
+    act: str = "relu",
+    alpha: float = 0.2,
+    fused_ok: bool = True,
+) -> Tuple[jnp.ndarray, State]:
+    """norm -> activation, fused into one Pallas kernel when the NHCW
+    fast path is active (instance norm, bf16, VMEM-resident slab); the
+    fallback composes :func:`apply_norm` with the activation, which is
+    what the reference always does (cyclegan/unet.py:20-36).
+
+    ``fused_ok=False`` forces the fallback — callers pass it when the
+    producing conv is XLA-lowered, where XLA epilogue-fuses the IN
+    statistics into the conv for free and a separate kernel only adds a
+    pass (measured: 39.9 -> 32.7 img/s when fused indiscriminately)."""
+    from cyclegan_tpu.ops import layout, pallas_norm_act
+
+    if (
+        fused_ok
+        and norm_type.lower() != "batchnorm"
+        and layout.is_nhcw()
+        and pallas_norm_act.is_enabled()
+        and x.dtype == jnp.bfloat16
+        and x.ndim == 4
+        and pallas_norm_act.profitable(x.shape[1], x.shape[2], x.shape[3])
+        and act in ("relu", "leaky_relu", "none")
+    ):
+        z = pallas_norm_act.instance_norm_act(
+            x, params.get("gamma"), params.get("beta"),
+            1e-3, act, alpha,
+        )
+        return z, {}
+    y, ns = apply_norm(params, state, x, norm_type, train)
+    if act == "relu":
+        y = jax.nn.relu(y)
+    elif act == "leaky_relu":
+        y = jax.nn.leaky_relu(y, negative_slope=alpha)
+    return y, ns
+
+
 def dropout(x: jnp.ndarray, rate: float, rng: Optional[jax.Array], train: bool):
     """Inverted dropout matching Keras ``Dropout`` (train-only, 1/keep scale)."""
     if not train or rate <= 0.0 or rng is None:
@@ -120,6 +164,7 @@ __all__ = [
     "init_conv",
     "init_norm",
     "apply_norm",
+    "apply_norm_act",
     "dropout",
     "normal_002",
     "glorot_uniform",

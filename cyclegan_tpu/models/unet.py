@@ -22,6 +22,7 @@ from cyclegan_tpu.models.base import (
     Params,
     State,
     apply_norm,
+    apply_norm_act,
     dropout,
     glorot_uniform,
     init_conv,
@@ -57,9 +58,12 @@ def _init_double_conv(keys: KeyGen, in_c: int, out_c: int, kernel: int, norm: st
 def _apply_double_conv(params, states, x, norm, use_dropout, train, rngs):
     new_states = []
     for i, (p, s) in enumerate(zip(params, states)):
+        from cyclegan_tpu.ops.conv import uses_pallas
+
+        fused_ok = uses_pallas(x, p["conv"]["w"])
         x = conv2d(x, p["conv"]["w"], stride=1)
-        x, ns = apply_norm(p["norm"], s["norm"], x, norm, train)
-        x = jax.nn.relu(x)
+        x, ns = apply_norm_act(p["norm"], s["norm"], x, norm, train, "relu",
+                               fused_ok=fused_ok)
         if use_dropout:
             x = dropout(x, 0.5, rngs[i] if rngs is not None else None, train)
         new_states.append({"norm": ns})
@@ -152,10 +156,10 @@ def unet_generator(config: Mapping[str, Any]) -> Model:
                 x = upsample_nearest_2x(x)
             else:
                 x = conv2d_transpose(x, p["convt"]["w"], p["convt"].get("b"), stride=2)
-                x, level_s["convt_norm"] = apply_norm(
-                    p["convt_norm"], s["convt_norm"], x, norm, train
+                x, level_s["convt_norm"] = apply_norm_act(
+                    p["convt_norm"], s["convt_norm"], x, norm, train, "relu",
+                    fused_ok=False,  # conv-transpose is XLA-lowered
                 )
-                x = jax.nn.relu(x)
             x = concat_channels([skip, x])
             x, level_s["dc"] = _apply_double_conv(
                 p["dc"], s["dc"], x, norm, use_dropout, train, take_rngs()
@@ -222,16 +226,16 @@ def strided_unet(config: Mapping[str, Any]) -> Model:
         skips = []
         for p, s in zip(params["down"], state["down"]):
             x = conv2d(x, p["conv"]["w"], p["conv"].get("b"), stride=2)
-            x, ns = apply_norm(p["norm"], s["norm"], x, norm, train)
-            x = jax.nn.relu(x)
+            x, ns = apply_norm_act(p["norm"], s["norm"], x, norm, train,
+                                   "relu", fused_ok=False)  # stride-2: XLA
             new_state["down"].append({"norm": ns})
             skips.insert(0, x)
         x = conv2d(x, params["bottom"]["w"], params["bottom"].get("b"), stride=2)
         for p, s, skip in zip(params["up"], state["up"], skips):
             x = conv2d_transpose(x, p["convt"]["w"], p["convt"].get("b"), stride=2)
             x = concat_channels([skip, x])
-            x, ns = apply_norm(p["norm"], s["norm"], x, norm, train)
-            x = jax.nn.relu(x)
+            x, ns = apply_norm_act(p["norm"], s["norm"], x, norm, train,
+                                   "relu", fused_ok=False)  # concat: XLA
             new_state["up"].append({"norm": ns})
         x = conv2d_transpose(x, params["last"]["w"], params["last"].get("b"), stride=2)
         x = apply_activation(x, final_activation)

@@ -40,6 +40,30 @@ def _precision_for(x: jnp.ndarray):
     return None
 
 
+def uses_pallas(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
+                padding: str = "SAME") -> bool:
+    """True when :func:`conv2d` on these operands dispatches to a Pallas
+    kernel (mirror of the dispatch conditions below). Consumers use this
+    to decide whether a fused norm+act kernel gains anything: for
+    XLA-lowered convs, XLA's own epilogue fusion of the IN statistics is
+    strictly better than a separate kernel."""
+    if not (layout.is_nhcw() and stride == 1 and padding == "SAME"
+            and x.dtype == jnp.bfloat16):
+        return False
+    from cyclegan_tpu.ops import pallas_conv
+
+    if not pallas_conv.is_enabled():
+        return False
+    if kernel.shape[0] == 1 and kernel.shape[1] == 1:
+        return pallas_conv.profitable_1x1(
+            x.shape[3], x.shape[2], kernel.shape[3]
+        )
+    return pallas_conv.profitable(
+        x.shape[1], x.shape[3], kernel.shape[2], kernel.shape[3],
+        kernel.shape[0],
+    )
+
+
 def conv2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

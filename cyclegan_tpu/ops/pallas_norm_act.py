@@ -1,0 +1,297 @@
+"""Fused instance-norm + activation Pallas kernel for the NHCW layout.
+
+Motivation (trace, TPU v5e, default recipe at 200 ms/step): instance
+normalization scattered ~27 ms/step across standalone ops — activation
+`max` passes (8.7 ms), backward Σg / Σg·x̂ reduces (13 ms), f32 converts
+(5.2 ms) — because XLA's NHCW reductions and the Pallas-conv fusion
+boundaries leave them unfused (reference norm: tfa InstanceNormalization,
+eps 1e-3, applied conv→norm→ReLU in cyclegan/unet.py:20-36).
+
+Design: grid over the batch; each grid step holds one sample's whole
+[H, C, W] tensor in VMEM (≤4 MB for every level of the 256² recipe), so
+
+- forward is ONE HBM read + one write: fori_loop pass 1 accumulates
+  per-channel Σx/Σx² in [C, W] f32 registers (single cross-lane reduce at
+  the end), pass 2 applies the per-channel affine + activation in f32 and
+  stores bf16. μ and 1/σ are emitted as residuals.
+- backward is one read of (g, x) + one write of dx: pass 1 accumulates
+  t1=Σdv, t2=Σdv·x̂ (dv = g·act'(v) recomputed in-register), which are
+  exactly dβ_b and dγ_b; pass 2 forms dx = γ/σ·(dv − t1/n − x̂·t2/n).
+  XLA finishes dγ/dβ with a trivial [B, C] sum over batch.
+
+Statistics match ops.norm.instance_norm's bf16 path bit-for-bit in
+structure: f32 accumulation, single-sweep E[x²]−E[x]² with a ≥0 clamp.
+
+Dispatch: models/base.apply_norm_act routes here for
+instancenorm+relu/leaky_relu under the NHCW layout when `enable()`d, the
+dtype is bf16, and the [H, C, W] slab fits VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ENABLED = False
+_INTERPRET = False
+
+# activation codes (static kernel params)
+_ACTS = ("none", "relu", "leaky_relu")
+
+
+def enable(on: bool = True) -> None:
+    global _ENABLED
+    _ENABLED = on
+
+
+def is_enabled() -> bool:
+    return _ENABLED
+
+
+def set_interpret(on: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = on
+
+
+def profitable(height: int, channels: int, width: int,
+               itemsize: int = 2) -> bool:
+    """One sample's [H, C, W] slab must fit VMEM (plus f32 working set);
+    C must be sublane-aligned, W lane-aligned-or-divisor."""
+    slab = height * channels * width * itemsize
+    return (
+        slab <= 4 * 1024 * 1024
+        and channels % 8 == 0
+        and width % 32 == 0
+    )
+
+
+def _act_apply(v, act: str, alpha: float):
+    if act == "relu":
+        return jnp.maximum(v, 0.0)
+    if act == "leaky_relu":
+        return jnp.where(v >= 0.0, v, v * alpha)
+    return v
+
+
+def _act_grad(v, act: str, alpha: float):
+    if act == "relu":
+        return jnp.where(v > 0.0, 1.0, 0.0)
+    if act == "leaky_relu":
+        return jnp.where(v >= 0.0, 1.0, alpha)
+    return jnp.ones_like(v)
+
+
+def _chunk(H: int, C: int, W: int) -> int:
+    """H-rows per loop iteration: ~512 KB bf16 slices keep the VPU busy
+    (single-row [C, W] iterations were loop-overhead-bound)."""
+    target = max(1, (512 * 1024) // (C * W * 2))
+    for cand in range(min(target, H), 0, -1):
+        if H % cand == 0:
+            return cand
+    return 1
+
+
+def _fwd_kernel(x_ref, g_ref, b_ref, z_ref, mu_ref, rstd_ref, *,
+                H, C, W, eps, act, alpha):
+    CH = _chunk(H, C, W)
+
+    def pass1(i, acc):
+        s1, s2 = acc
+        rows = x_ref[0, pl.ds(i * CH, CH), :, :].astype(jnp.float32)
+        return (s1 + jnp.sum(rows, axis=0),
+                s2 + jnp.sum(rows * rows, axis=0))
+
+    zeros = jnp.zeros((C, W), jnp.float32)
+    s1, s2 = lax.fori_loop(0, H // CH, pass1, (zeros, zeros))
+    n = float(H * W)
+    mu = jnp.sum(s1, axis=1, keepdims=True) / n          # [C, 1]
+    sq = jnp.sum(s2, axis=1, keepdims=True) / n
+    var = jnp.maximum(sq - mu * mu, 0.0)
+    rstd = lax.rsqrt(var + eps)
+    gamma = g_ref[:, :]                                   # [C, 1] f32
+    beta = b_ref[:, :]
+    a = gamma * rstd
+    b = beta - mu * a
+
+    def pass2(i, _):
+        rows = x_ref[0, pl.ds(i * CH, CH), :, :].astype(jnp.float32)
+        v = rows * a[None] + b[None]
+        z_ref[0, pl.ds(i * CH, CH), :, :] = (
+            _act_apply(v, act, alpha).astype(z_ref.dtype)
+        )
+        return 0
+
+    lax.fori_loop(0, H // CH, pass2, 0)
+    mu_ref[0, :, :] = mu
+    rstd_ref[0, :, :] = rstd
+
+
+def _bwd_kernel(x_ref, gz_ref, g_ref, b_ref, mu_ref, rstd_ref,
+                dx_ref, t1_ref, t2_ref, *, H, C, W, eps, act, alpha):
+    CH = _chunk(H, C, W)
+    mu = mu_ref[0, :, :]
+    rstd = rstd_ref[0, :, :]
+    gamma = g_ref[:, :]
+    beta = b_ref[:, :]
+
+    def pass1(i, acc):
+        a1, a2 = acc
+        rows = x_ref[0, pl.ds(i * CH, CH), :, :].astype(jnp.float32)
+        gz = gz_ref[0, pl.ds(i * CH, CH), :, :].astype(jnp.float32)
+        xhat = (rows - mu[None]) * rstd[None]
+        v = xhat * gamma[None] + beta[None]
+        dv = gz * _act_grad(v, act, alpha)
+        return (a1 + jnp.sum(dv, axis=0),
+                a2 + jnp.sum(dv * xhat, axis=0))
+
+    zeros = jnp.zeros((C, W), jnp.float32)
+    a1, a2 = lax.fori_loop(0, H // CH, pass1, (zeros, zeros))
+    t1 = jnp.sum(a1, axis=1, keepdims=True)              # [C, 1] = dbeta_b
+    t2 = jnp.sum(a2, axis=1, keepdims=True)              # [C, 1] = dgamma_b
+    n = float(H * W)
+    k = gamma * rstd
+
+    def pass2(i, _):
+        rows = x_ref[0, pl.ds(i * CH, CH), :, :].astype(jnp.float32)
+        gz = gz_ref[0, pl.ds(i * CH, CH), :, :].astype(jnp.float32)
+        xhat = (rows - mu[None]) * rstd[None]
+        v = xhat * gamma[None] + beta[None]
+        dv = gz * _act_grad(v, act, alpha)
+        dx = k[None] * (dv - (t1 / n)[None] - xhat * (t2 / n)[None])
+        dx_ref[0, pl.ds(i * CH, CH), :, :] = dx.astype(dx_ref.dtype)
+        return 0
+
+    lax.fori_loop(0, H // CH, pass2, 0)
+    t1_ref[0, :, :] = t1
+    t2_ref[0, :, :] = t2
+
+
+def _scalars(p: Optional[jnp.ndarray], C: int) -> jnp.ndarray:
+    """Per-channel parameter -> [C, 1] f32 (ones/zeros when absent)."""
+    if p is None:
+        return jnp.ones((C, 1), jnp.float32)
+    return p.astype(jnp.float32).reshape(C, 1)
+
+
+def _run_fwd(x, gamma, beta, eps, act, alpha):
+    B, H, C, W = x.shape
+    kern = functools.partial(_fwd_kernel, H=H, C=C, W=W, eps=eps,
+                             act=act, alpha=alpha)
+    bytes_t = 2 * B * H * C * W * x.dtype.itemsize
+    z, mu, rstd = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, C, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, C, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, C, W), x.dtype),
+            jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            # the 32ch@256 slab plus double-buffering brushes the 16 MB
+            # default scoped-vmem limit; v5e has headroom above it
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * H * C * W, bytes_accessed=bytes_t,
+            transcendentals=B * C,
+        ),
+    )(x, _scalars(gamma, C), _scalars(beta, C))
+    return z, mu, rstd
+
+
+def _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
+    B, H, C, W = x.shape
+    kern = functools.partial(_bwd_kernel, H=H, C=C, W=W, eps=eps,
+                             act=act, alpha=alpha)
+    bytes_t = 3 * B * H * C * W * x.dtype.itemsize
+    dx, t1, t2 = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, C, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, C, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, H, C, W), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, C, W), x.dtype),
+            jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * B * H * C * W, bytes_accessed=bytes_t,
+            transcendentals=0,
+        ),
+    )(x, gz, _scalars(gamma, C), _scalars(beta, C), mu, rstd)
+    return dx, t1, t2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def instance_norm_act(x, gamma, beta, eps: float = 1e-3,
+                      act: str = "relu", alpha: float = 0.2):
+    """Fused IN + activation, NHCW. gamma/beta: [C] or None."""
+    z, _, _ = _run_fwd(x, gamma, beta, eps, act, alpha)
+    return z
+
+
+def _ina_fwd(x, gamma, beta, eps, act, alpha):
+    z, mu, rstd = _run_fwd(x, gamma, beta, eps, act, alpha)
+    return z, (x, gamma, beta, mu, rstd)
+
+
+def _ina_bwd(eps, act, alpha, res, gz):
+    x, gamma, beta, mu, rstd = res
+    dx, t1, t2 = _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha)
+    dgamma = None if gamma is None else (
+        jnp.sum(t2[:, :, 0], axis=0).astype(gamma.dtype)
+    )
+    dbeta = None if beta is None else (
+        jnp.sum(t1[:, :, 0], axis=0).astype(beta.dtype)
+    )
+    return dx, dgamma, dbeta
+
+
+instance_norm_act.defvjp(_ina_fwd, _ina_bwd)

@@ -86,6 +86,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nhcw", action="store_true")
     ap.add_argument("--pallas-conv", action="store_true")
+    ap.add_argument("--pallas-resize", action="store_true")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--out", default="/tmp/trace_step")
     args = ap.parse_args()
@@ -94,6 +95,11 @@ def main():
         from cyclegan_tpu.ops import pallas_conv
 
         pallas_conv.enable(True)
+
+    if args.pallas_resize:
+        from cyclegan_tpu.ops import pallas_resize
+
+        pallas_resize.enable(True)
 
     train, state, x = build(args.nhcw)
 
