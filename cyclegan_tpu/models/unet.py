@@ -55,12 +55,19 @@ def _init_double_conv(keys: KeyGen, in_c: int, out_c: int, kernel: int, norm: st
     return params, states
 
 
-def _apply_double_conv(params, states, x, norm, use_dropout, train, rngs):
+def _apply_double_conv(params, states, x, norm, use_dropout, train, rngs,
+                       consumer_pallas=False):
+    """``consumer_pallas``: the block's output feeds a Pallas op (pool /
+    upsample / 1x1 head), so the last norm+act can't fuse into any XLA
+    consumer and routes to the fused kernel even off an XLA conv."""
     new_states = []
+    last = len(params) - 1
     for i, (p, s) in enumerate(zip(params, states)):
         from cyclegan_tpu.ops.conv import uses_pallas
 
-        fused_ok = uses_pallas(x, p["conv"]["w"])
+        fused_ok = uses_pallas(x, p["conv"]["w"]) or (
+            i == last and consumer_pallas
+        )
         x = conv2d(x, p["conv"]["w"], stride=1)
         x, ns = apply_norm_act(p["norm"], s["norm"], x, norm, train, "relu",
                                fused_ok=fused_ok)
@@ -68,6 +75,30 @@ def _apply_double_conv(params, states, x, norm, use_dropout, train, rngs):
             x = dropout(x, 0.5, rngs[i] if rngs is not None else None, train)
         new_states.append({"norm": ns})
     return x, new_states
+
+
+def _pool_consumer_pallas(x, channels: int) -> bool:
+    """Will avg_pool2x2 on the double-conv output dispatch to Pallas?
+    (NHCW: H = x.shape[1], W = x.shape[3]; dc keeps H/W, changes C.)"""
+    from cyclegan_tpu.ops import layout, pallas_resize
+
+    return (
+        layout.is_nhcw()
+        and pallas_resize.is_enabled()
+        and pallas_resize.pool_profitable(x.shape[1], x.shape[3], channels)
+    )
+
+
+def _upsample_consumer_pallas(x, channels: int) -> bool:
+    from cyclegan_tpu.ops import layout, pallas_resize
+
+    return (
+        layout.is_nhcw()
+        and pallas_resize.is_enabled()
+        and pallas_resize.upsample_profitable(
+            x.shape[1], x.shape[3], channels
+        )
+    )
 
 
 def unet_generator(config: Mapping[str, Any]) -> Model:
@@ -141,16 +172,25 @@ def unet_generator(config: Mapping[str, Any]) -> Model:
 
         new_state: Dict[str, Any] = {"down": [], "up": [], "bottom": None}
         skips = []
-        for p, s in zip(params["down"], state["down"]):
-            x, ns = _apply_double_conv(p, s, x, norm, use_dropout, train, take_rngs())
+        for (f, _k), p, s in zip(down_specs, params["down"], state["down"]):
+            x, ns = _apply_double_conv(
+                p, s, x, norm, use_dropout, train, take_rngs(),
+                consumer_pallas=_pool_consumer_pallas(x, f),
+            )
             new_state["down"].append(ns)
             skips.insert(0, x)
             x = avg_pool2x2(x)
         x, ns = _apply_double_conv(
-            params["bottom"], state["bottom"], x, norm, use_dropout, train, take_rngs()
+            params["bottom"], state["bottom"], x, norm, use_dropout, train,
+            take_rngs(),
+            consumer_pallas=(expansion == "upsample"
+                             and _upsample_consumer_pallas(x, filters[-1])),
         )
         new_state["bottom"] = ns
-        for p, s, skip in zip(params["up"], state["up"], skips):
+        n_up = len(params["up"])
+        for li, (p, s, skip) in enumerate(
+            zip(params["up"], state["up"], skips)
+        ):
             level_s: Dict[str, Any] = {}
             if expansion == "upsample":
                 x = upsample_nearest_2x(x)
@@ -161,8 +201,21 @@ def unet_generator(config: Mapping[str, Any]) -> Model:
                     fused_ok=False,  # conv-transpose is XLA-lowered
                 )
             x = concat_channels([skip, x])
+            if li == n_up - 1:
+                # head 1x1 is the consumer; its Pallas gate mirrors
+                # conv.uses_pallas (lane-aligned W, sublane cin)
+                from cyclegan_tpu.ops import layout as _lay
+                from cyclegan_tpu.ops import pallas_conv as _pc
+
+                f_out = up_filters[li]
+                cp = (_lay.is_nhcw() and _pc.is_enabled()
+                      and _pc.profitable_1x1(
+                          x.shape[3], f_out, output_channels))
+            else:
+                cp = _upsample_consumer_pallas(x, up_filters[li])
             x, level_s["dc"] = _apply_double_conv(
-                p["dc"], s["dc"], x, norm, use_dropout, train, take_rngs()
+                p["dc"], s["dc"], x, norm, use_dropout, train, take_rngs(),
+                consumer_pallas=cp,
             )
             new_state["up"].append(level_s)
         x = conv2d(x, params["head"]["w"], params["head"].get("b"), stride=1)

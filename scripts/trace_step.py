@@ -87,6 +87,7 @@ def main():
     ap.add_argument("--nhcw", action="store_true")
     ap.add_argument("--pallas-conv", action="store_true")
     ap.add_argument("--pallas-resize", action="store_true")
+    ap.add_argument("--pallas-norm-act", action="store_true")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--out", default="/tmp/trace_step")
     args = ap.parse_args()
@@ -100,6 +101,11 @@ def main():
         from cyclegan_tpu.ops import pallas_resize
 
         pallas_resize.enable(True)
+
+    if args.pallas_norm_act:
+        from cyclegan_tpu.ops import pallas_norm_act
+
+        pallas_norm_act.enable(True)
 
     train, state, x = build(args.nhcw)
 
