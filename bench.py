@@ -126,26 +126,19 @@ def main():
                         help="model config to benchmark (e.g. "
                         "configs/resnet.yaml for the canonical recipe)")
     parser.add_argument("--pallas", action="store_true",
-                        help="route instance norm through the Pallas kernel")
-    parser.add_argument("--layout", default="nhwc",
+                        help="route instance norm through the legacy NHWC "
+                        "Pallas kernel (measured slower; kept for A/B)")
+    parser.add_argument("--layout", default="nhcw",
                         choices=["nhwc", "nhcw"],
-                        help="activation layout for the train step: nhwc "
-                        "(XLA-native, current fastest end-to-end) or nhcw "
-                        "(lane-dense experiment, ties nhwc with XLA convs)")
-    parser.add_argument("--pallas-conv", action="store_true",
-                        help="within --layout nhcw, dispatch stride-1 "
-                        "SAME convs to the lane-dense Pallas kernel "
-                        "(measured slower end-to-end so far: 32.6 vs "
-                        "36.5 img/s; per-op fwd wins, bwd loses)")
-    parser.add_argument("--pallas-resize", action="store_true",
-                        help="within --layout nhcw, dispatch the 2x2 "
-                        "avg-pool and nearest-2x upsample to Pallas "
-                        "kernels (XLA reduce_window/broadcast cost "
-                        "~17 ms/step)")
-    parser.add_argument("--pallas-norm-act", action="store_true",
-                        help="within --layout nhcw, fuse instance-norm + "
-                        "activation into a VMEM-resident Pallas kernel "
-                        "(standalone IN/act ops cost ~27 ms/step)")
+                        help="activation layout for the train step: nhcw "
+                        "(lane-dense, the TPU fast path: 42.6 img/s with "
+                        "the kernel pack) or nhwc (XLA-native round-1 "
+                        "path: 36.5 img/s)")
+    parser.add_argument("--no-pallas-kernels", action="store_true",
+                        help="within --layout nhcw, disable the Pallas "
+                        "kernel pack (lane-dense conv, 1x1 conv, 2x2 "
+                        "pool/upsample, fused instance-norm+activation) "
+                        "and use XLA lowerings for everything")
     parser.add_argument("--remat", action="store_true",
                         help="jax.checkpoint the generator forwards "
                         "(fits larger batches in HBM)")
@@ -159,19 +152,17 @@ def main():
 
         pallas_norm.enable(True)
 
-    if args.pallas_conv:
-        from cyclegan_tpu.ops import pallas_conv
+    use_kernels = args.layout == "nhcw" and not args.no_pallas_kernels \
+        and not args.paired
+    if use_kernels:
+        from cyclegan_tpu.ops import (
+            pallas_conv,
+            pallas_norm_act,
+            pallas_resize,
+        )
 
         pallas_conv.enable(True)
-
-    if args.pallas_resize:
-        from cyclegan_tpu.ops import pallas_resize
-
         pallas_resize.enable(True)
-
-    if args.pallas_norm_act:
-        from cyclegan_tpu.ops import pallas_norm_act
-
         pallas_norm_act.enable(True)
 
     train_step, state, real_a, real_b, n_devices = build_step(
@@ -198,10 +189,9 @@ def main():
                     f"{args.image_size}px_b{args.batch}_{args.dtype}"
                     + ("_resnet" if "resnet" in str(args.model_config) else "")
                     + ("_pallas" if args.pallas else "")
-                    + ("_convkernel" if args.pallas_conv else "")
-                    + ("_resizekernel" if args.pallas_resize else "")
-                    + ("_normactkernel" if args.pallas_norm_act else "")
-                    + ("_nhcw" if args.layout == "nhcw" else "")
+                    + ("_nhwc" if args.layout == "nhwc" else "")
+                    + ("_nokernels" if (args.layout == "nhcw"
+                                        and args.no_pallas_kernels) else "")
                     + ("_remat" if args.remat else "")
                     + ("_paired" if args.paired else "")
                 ),

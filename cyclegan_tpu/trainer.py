@@ -94,6 +94,29 @@ class CycleGan:
             from cyclegan_tpu.ops import pallas_norm
 
             pallas_norm.enable(True)
+        # tpu_layout: run the train step in the lane-dense NHCW layout
+        # with the Pallas kernel pack (conv/1x1/pool/upsample/norm-act) —
+        # the measured TPU fast path (42.6 vs 36.5 img/s at bf16; see
+        # BASELINE.md). Requires compute_dtype bfloat16 to dispatch; the
+        # parity float32 path is unaffected. Checkpoints, metrics and
+        # configs are identical in both layouts.
+        self.tpu_layout = bool(train_config.get("tpu_layout", False))
+        if self.tpu_layout:
+            from cyclegan_tpu.ops import (
+                pallas_conv,
+                pallas_norm_act,
+                pallas_resize,
+            )
+
+            pallas_conv.enable(True)
+            pallas_resize.enable(True)
+            pallas_norm_act.enable(True)
+            if jax.default_backend() != "tpu":
+                # CPU/CI: run the kernels through the Pallas interpreter
+                # so the layout path stays testable off-TPU
+                pallas_conv.set_interpret(True)
+                pallas_resize.set_interpret(True)
+                pallas_norm_act.set_interpret(True)
 
         self.models = {
             "g_AB": create_model(model_config.generator),
@@ -134,6 +157,7 @@ class CycleGan:
             mesh=mesh,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
+            tpu_layout=self.tpu_layout,
         )
         self.multi_step_fn = None
         if self.steps_per_call > 1:
@@ -148,6 +172,7 @@ class CycleGan:
                 mesh=mesh,
                 compute_dtype=self.compute_dtype,
                 remat=self.remat,
+                tpu_layout=self.tpu_layout,
             )
         self.validate_step_fn = make_validate_step(
             self.models,
@@ -156,6 +181,7 @@ class CycleGan:
             preprocess=prepare_eval_batch,
             mesh=mesh,
             compute_dtype=self.compute_dtype,
+            tpu_layout=self.tpu_layout,
         )
         self._predict_fns: Dict[str, object] = {}
 

@@ -106,3 +106,72 @@ def test_profitable_gate():
     assert pallas_norm_act.profitable(64, 128, 64)
     assert not pallas_norm_act.profitable(1024, 128, 1024)  # VMEM blowout
     assert not pallas_norm_act.profitable(256, 3, 256)      # C not aligned
+
+
+@pytest.mark.parity
+def test_full_step_fused_path_matches_default():
+    """One full single-backward train step at kernel-dispatching shapes
+    (W=128, 16-channel first level): the NHCW+Pallas fused path must
+    produce the same metrics and updated params as the default NHWC/XLA
+    path within bf16 tolerance. This is the end-to-end guard that the
+    kernel pack (conv, 1x1, pool/upsample, norm+act) is a pure execution
+    detail."""
+    from cyclegan_tpu.config import Namespace
+    from cyclegan_tpu.models import create_model
+    from cyclegan_tpu.optimizers import get_optimizer
+    from cyclegan_tpu.steps import init_train_state, make_train_step
+    from cyclegan_tpu.ops import pallas_conv, pallas_resize
+
+    gen_cfg = dict(type="unet_generator", filters=[16, 32],
+                   kernels=[3, 3], output_channels=3,
+                   expansion="upsample", normalization="instancenorm",
+                   dropout=False, final_activation="tanh")
+    disc_cfg = dict(gen_cfg, output_channels=1, final_activation="sigmoid")
+    models = {
+        "g_AB": create_model(Namespace(gen_cfg)),
+        "g_BA": create_model(Namespace(gen_cfg)),
+        "d_A": create_model(Namespace(disc_cfg)),
+        "d_B": create_model(Namespace(disc_cfg)),
+    }
+    opts = {k: get_optimizer(Namespace(dict(name="adam",
+                                            learning_rate=2e-4,
+                                            beta_1=0.5)))
+            for k in models}
+    state = init_train_state(jax.random.PRNGKey(0), models, opts)
+    lw = dict(cycle=2.0, identity=0.5, generator=1.0, discriminator=0.5)
+    # H=4, W=128: smallest shape where every kernel gate engages
+    # (W lane-aligned for conv/1x1/pool/norm-act; H only needs %2) while
+    # CPU interpret-mode stays fast.
+    a = _rand((1, 4, 128, 3), seed=20, dtype=jnp.bfloat16)
+    b = _rand((1, 4, 128, 3), seed=21, dtype=jnp.bfloat16)
+
+    ref_step = make_train_step(models, opts, "mse", lw, donate=False,
+                               compute_dtype="bfloat16")
+    ref_state, ref_metrics = ref_step(state, a, b)
+
+    pallas_conv.set_interpret(True)
+    pallas_resize.set_interpret(True)
+    pallas_conv.enable(True)
+    pallas_resize.enable(True)
+    pallas_norm_act.enable(True)
+    try:
+        fused_step = make_train_step(models, opts, "mse", lw, donate=False,
+                                     compute_dtype="bfloat16",
+                                     tpu_layout=True)
+        fused_state, fused_metrics = fused_step(state, a, b)
+    finally:
+        pallas_conv.enable(False)
+        pallas_resize.enable(False)
+        pallas_norm_act.enable(False)
+        pallas_conv.set_interpret(False)
+        pallas_resize.set_interpret(False)
+
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(fused_metrics[k]), float(ref_metrics[k]),
+            rtol=0.05, atol=0.05,
+        )
+    r, _ = jax.flatten_util.ravel_pytree(jax.device_get(ref_state.params))
+    f, _ = jax.flatten_util.ravel_pytree(jax.device_get(fused_state.params))
+    np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                               rtol=0.05, atol=5e-4)

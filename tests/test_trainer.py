@@ -325,3 +325,23 @@ def test_two_axis_mesh_matches_single_device(tmp_path):
     p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
     p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_trainer_tpu_layout_smoke(tmp_path):
+    """The tpu_layout product knob (training_config `tpu_layout: true`)
+    trains end-to-end through the NHCW layout path: finite metrics,
+    checkpoint written. Kernels run in interpreter mode off-TPU (tiny
+    shapes here stay below the dispatch gates; kernel numerics are
+    covered by tests/test_pallas_*.py)."""
+    mc = tiny_model_config(tmp_path)
+    tc = tiny_train_config()
+    tc.compute_dtype = "bfloat16"
+    tc.tpu_layout = True
+    train_ds, val_ds = tiny_dataset()
+    gan = CycleGan(mc, tc)
+    assert gan.tpu_layout
+    gan.train(train_ds, val_ds)
+    # finite params after a tpu_layout epoch + checkpoint written
+    flat, _ = jax.flatten_util.ravel_pytree(jax.device_get(gan.state.params))
+    assert np.all(np.isfinite(np.asarray(flat)))
+    assert (tmp_path / "tiny" / CHECKPOINT_FILE).exists()
