@@ -175,3 +175,69 @@ def test_full_step_fused_path_matches_default():
     f, _ = jax.flatten_util.ravel_pytree(jax.device_get(fused_state.params))
     np.testing.assert_allclose(np.asarray(f), np.asarray(r),
                                rtol=0.05, atol=5e-4)
+
+
+@pytest.mark.parity
+def test_fused_path_under_data_parallel_mesh():
+    """The NHCW kernel pack must be SPMD-transparent: under a 2-device
+    data-parallel mesh the fused step's metrics match its own
+    single-device run (each shard runs the Pallas kernels on its local
+    batch; XLA inserts the psum)."""
+    from cyclegan_tpu.config import Namespace
+    from cyclegan_tpu.models import create_model
+    from cyclegan_tpu.optimizers import get_optimizer
+    from cyclegan_tpu.parallel import create_mesh, replicate, shard_batch
+    from cyclegan_tpu.steps import init_train_state, make_train_step
+    from cyclegan_tpu.ops import pallas_conv, pallas_resize
+
+    gen_cfg = dict(type="unet_generator", filters=[16, 32],
+                   kernels=[3, 3], output_channels=3,
+                   expansion="upsample", normalization="instancenorm",
+                   dropout=False, final_activation="tanh")
+    disc_cfg = dict(gen_cfg, output_channels=1, final_activation="sigmoid")
+    models = {
+        "g_AB": create_model(Namespace(gen_cfg)),
+        "g_BA": create_model(Namespace(gen_cfg)),
+        "d_A": create_model(Namespace(disc_cfg)),
+        "d_B": create_model(Namespace(disc_cfg)),
+    }
+    opts = {k: get_optimizer(Namespace(dict(name="adam",
+                                            learning_rate=2e-4,
+                                            beta_1=0.5)))
+            for k in models}
+    state = init_train_state(jax.random.PRNGKey(0), models, opts)
+    lw = dict(cycle=2.0, identity=0.5, generator=1.0, discriminator=0.5)
+    a = _rand((2, 4, 128, 3), seed=30, dtype=jnp.bfloat16)
+    b = _rand((2, 4, 128, 3), seed=31, dtype=jnp.bfloat16)
+
+    pallas_conv.set_interpret(True)
+    pallas_resize.set_interpret(True)
+    pallas_conv.enable(True)
+    pallas_resize.enable(True)
+    pallas_norm_act.enable(True)
+    try:
+        single = make_train_step(models, opts, "mse", lw, donate=False,
+                                 compute_dtype="bfloat16", tpu_layout=True)
+        s1, m1 = single(state, a, b)
+
+        mesh = create_mesh(2)
+        multi = make_train_step(models, opts, "mse", lw, donate=False,
+                                compute_dtype="bfloat16", tpu_layout=True,
+                                mesh=mesh)
+        state_r = replicate(mesh, state)
+        a_s, b_s = shard_batch(mesh, (a, b))
+        s2, m2 = multi(state_r, a_s, b_s)
+    finally:
+        pallas_conv.enable(False)
+        pallas_resize.enable(False)
+        pallas_norm_act.enable(False)
+        pallas_conv.set_interpret(False)
+        pallas_resize.set_interpret(False)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=2e-2, atol=2e-2)
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=2e-2, atol=1e-3)
