@@ -43,10 +43,11 @@ def _precision_for(x: jnp.ndarray):
 def uses_pallas(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
                 padding: str = "SAME") -> bool:
     """True when :func:`conv2d` on these operands dispatches to a Pallas
-    kernel (mirror of the dispatch conditions below). Consumers use this
-    to decide whether a fused norm+act kernel gains anything: for
-    XLA-lowered convs, XLA's own epilogue fusion of the IN statistics is
-    strictly better than a separate kernel."""
+    kernel — :func:`conv2d` itself dispatches through this predicate, so
+    it cannot drift. Consumers also use it to decide whether a fused
+    norm+act kernel gains anything: for XLA-lowered convs, XLA's own
+    epilogue fusion of the IN statistics is strictly better than a
+    separate kernel."""
     if not (layout.is_nhcw() and stride == 1 and padding == "SAME"
             and x.dtype == jnp.bfloat16):
         return False
@@ -79,33 +80,16 @@ def conv2d(
     (cyclegan/unet.py:54, cyclegan/resnet.py:50,97) numerically reproducible.
     """
     if layout.is_nhcw():
-        if (
-            stride == 1
-            and padding == "SAME"
-            and x.dtype == jnp.bfloat16
-        ):
+        if uses_pallas(x, kernel, stride, padding):
             from cyclegan_tpu.ops import pallas_conv
 
-            if (
-                kernel.shape[0] == 1
-                and kernel.shape[1] == 1
-                and pallas_conv.is_enabled()
-                and pallas_conv.profitable_1x1(
-                    x.shape[3], x.shape[2], kernel.shape[3]
-                )
-            ):
+            if kernel.shape[0] == 1 and kernel.shape[1] == 1:
                 y = pallas_conv.conv1x1_nhcw(x, kernel)
-                if bias is not None:
-                    y = y + layout.channel_param(bias)
-                return y.astype(x.dtype)
-            if pallas_conv.is_enabled() and pallas_conv.profitable(
-                x.shape[1], x.shape[3], kernel.shape[2], kernel.shape[3],
-                kernel.shape[0],
-            ):
+            else:
                 y = pallas_conv.conv2d_same_nhcw(x, kernel)
-                if bias is not None:
-                    y = y + layout.channel_param(bias)
-                return y.astype(x.dtype)
+            if bias is not None:
+                y = y + layout.channel_param(bias)
+            return y.astype(x.dtype)
         out = lax.conv_general_dilated(
             x,
             kernel,
