@@ -8,17 +8,18 @@ columns idle — measured ~12% logical MFU on the train step (BASELINE.md).
 
 This kernel flips the orientation: **spatial in lanes, channels in
 sublanes**. Activations pass through as ``[B, H, C, W]`` ("NHCW", W
-innermost); per R-row group the conv is one dense matmul
+innermost); per R-row group the conv accumulates K matmuls
 
-    y[co, r*W + w] = sum_k  W2[co, k] . patches[k, r*W + w]
+    y[co, r*W + w] += W2[co, dy-block] . shifted[:, dy*W + r*W + w]
 
-where ``patches[(dy*K+dx)*C + ci, r*W + w] = x_pad[h0+r+dy, ci, dx+w]``
-is built from K*K*R aligned ``[C, W]`` block copies — no gather, no
-transpose; C is padded to a multiple of 16 (the bf16 sublane tile) so
-every copy lands on a sublane boundary. The contraction depth K*K*C is
->= 256 for every layer of the default recipe and N = R*W lanes is a
-multiple of 128, so the systolic array runs dense where XLA ran at 1/8
-occupancy.
+over a **dx-shifted slab** ``shifted[dx*C+ci, j*W+w] = x_pad[j, ci,
+dx+w]`` built from K*(R+K-1) aligned ``[C, W]`` block copies — the
+factored form of im2col (a full patch matrix would copy K^2*R blocks;
+for a fixed dy its contraction operand is a pure lane-slice of this
+slab). No gather, no transpose; C pads to the 16-row bf16 sublane tile,
+N = R*W lanes is a multiple of 128, and the summed contraction depth
+K*K*C is >= 144 for every dispatched layer, so the systolic array runs
+lane-dense where XLA ran at 1/8 occupancy.
 
 Halo handling: overlapping input row-slabs are not expressible as one
 BlockSpec (index maps are in block units), so the kernel takes R+K-1
@@ -101,33 +102,54 @@ def _tf_same_pad(kernel: int) -> Tuple[int, int]:
     return pad_before, pad_total - pad_before
 
 
-def _choose_rows(height: int, width: int, kkc: int, itemsize: int) -> int:
-    """Rows per grid step: target ~4k lanes of output per matmul, capped
-    so the patches scratch stays within ~3.5 MB of VMEM, while dividing H
-    evenly (static shapes everywhere)."""
-    vmem_lanes = (3_500_000 // (kkc * itemsize) // 128) * 128
-    target = max(1, min(4096, vmem_lanes) // width)
+def _choose_rows(height: int, width: int, k: int, c: int,
+                 itemsize: int) -> int:
+    """Rows per grid step: target ~4k lanes of output per matmul
+    (f32 accumulator register pressure), capped so the dx-shifted
+    scratch [K*C, (R+K-1)*W] stays within ~3.5 MB of VMEM, while
+    dividing H evenly (static shapes everywhere)."""
+    max_n_rows = max(k, 3_500_000 // (k * c * width * itemsize))
+    target = max(1, min(4096 // width, max_n_rows - k + 1))
     for cand in range(min(target, height), 0, -1):
         if height % cand == 0:
             return cand
     return 1
 
 
+def _fill_shifted(rows, shifted, K, C, W, n_rows):
+    """Build the dx-shifted slab: shifted[dx*C+c, j*W+w] = rows[j][c, dx+w].
+
+    This factors the im2col redundancy out: the full patch matrix
+    duplicates each input row K times (once per dy), but for a fixed dy
+    the [K*C, R*W] contraction operand is a PURE lane-slice
+    ``shifted[:, dy*W : dy*W + R*W]`` of this slab — so the copy volume
+    is K*(R+K-1) row blocks instead of K^2*R (4-7x less for k5/k7,
+    where VMEM copies were ~40% of kernel time)."""
+    for j in range(n_rows):
+        src = rows[j]
+        for dx in range(K):
+            shifted[dx * C:(dx + 1) * C, j * W:(j + 1) * W] = \
+                src[0, :, dx:dx + W]
+
+
 def _conv_kernel(*refs, K, C, Cout, R, W, n_rows):
-    """refs = row_0..row_{n_rows-1}, w2_ref, out_ref, patches, acc."""
-    rows, (w2_ref, out_ref, patches) = refs[:n_rows], refs[n_rows:]
-    for r in range(R):
-        for dy in range(K):
-            src = rows[r + dy]
-            for dx in range(K):
-                k0 = (dy * K + dx) * C
-                patches[k0:k0 + C, r * W:(r + 1) * W] = src[0, :, dx:dx + W]
-    acc = jax.lax.dot_general(
-        w2_ref[:, :],
-        patches[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    """refs = row_0..row_{n_rows-1}, w2_ref, out_ref, shifted scratch.
+
+    y rows = sum over dy of W2[:, dy-block] @ shifted[:, dy-lane-slice];
+    K matmuls of depth K*C (same total MXU passes as the single
+    K*K*C-deep matmul, ceil(KKC/128) for the recipe's shapes)."""
+    rows, (w2_ref, out_ref, shifted) = refs[:n_rows], refs[n_rows:]
+    _fill_shifted(rows, shifted, K, C, W, n_rows)
+    acc = jnp.zeros((Cout, R * W), jnp.float32)
+    KC = K * C
+    for dy in range(K):
+        acc += jax.lax.dot_general(
+            w2_ref[:, dy * KC:(dy + 1) * KC],
+            shifted[:, dy * W:dy * W + R * W],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    acc = acc.astype(out_ref.dtype)
     for r in range(R):
         out_ref[0, r * Cout:(r + 1) * Cout, :] = acc[:, r * W:(r + 1) * W]
 
@@ -138,7 +160,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
     W_lane >= W + K - 1). w2: [Cout, K*K*C]. Returns [B, H, Cout, W]."""
     B, Hp, C, W_lane = xp.shape
     Cout = w2.shape[0]
-    R = _choose_rows(H, W, K * K * C, xp.dtype.itemsize)
+    R = _choose_rows(H, W, K, C, xp.dtype.itemsize)
     n_rows = R + K - 1
     grid = (B, H // R)
 
@@ -169,7 +191,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, (H // R) * R * Cout, W), xp.dtype),
-        scratch_shapes=[pltpu.VMEM((K * K * C, R * W), xp.dtype)],
+        scratch_shapes=[pltpu.VMEM((K * C, n_rows * W), xp.dtype)],
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * K * K * C * Cout,
@@ -182,39 +204,34 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
 
 
 def _dw_kernel(*refs, K, C, Cout, R, W, n_rows):
-    """Accumulate dW[KKC, Cout] over the grid.
+    """Accumulate dW over the grid (output [Cout, KKC]: KKC lane-dense —
+    the [KKC, Cout] orientation would run the MXU at Cout/128 occupancy).
 
     refs = row_0..row_{n_rows-1} (input slab rows), dy_ref, dw_ref
-    (revisited output), patches scratch, acc scratch (f32).
+    (revisited output), shifted scratch, acc scratch (f32). Same
+    dx-shifted slab as the forward: per dy the contraction operand is a
+    lane-slice, so copies are K*(R+K-1) blocks, not K^2*R.
     """
     rows = refs[:n_rows]
-    dy_ref, dw_ref, patches, acc = refs[n_rows:]
+    dy_ref, dw_ref, shifted, acc = refs[n_rows:]
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    for r in range(R):
-        for dyy in range(K):
-            src = rows[r + dyy]
-            for dx in range(K):
-                k0 = (dyy * K + dx) * C
-                patches[k0:k0 + C, r * W:(r + 1) * W] = src[0, :, dx:dx + W]
-
-    # grads for these R rows: [R*Cout, W] -> [Cout, R*W] view via per-row
-    # lane placement matching patches. Output orientation [Cout, KKC]
-    # keeps KKC (>=256) in the 128-wide lane dim — the [KKC, Cout]
-    # orientation would run the MXU at Cout/128 occupancy.
-    part = jax.lax.dot_general(
-        _dy_as_lanes(dy_ref, R, Cout, W),
-        patches[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    _fill_shifted(rows, shifted, K, C, W, n_rows)
+    g_lanes = _dy_as_lanes(dy_ref, R, Cout, W)
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _():
         acc[:, :] = jnp.zeros_like(acc)
 
-    acc[:, :] += part
+    KC = K * C
+    for dy in range(K):
+        acc[:, dy * KC:(dy + 1) * KC] += jax.lax.dot_general(
+            g_lanes,
+            shifted[:, dy * W:dy * W + R * W],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(
         jnp.logical_and(
@@ -237,7 +254,7 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
     Returns [Cout, K*K*C] f32 (lane-dense orientation; transposed by the
     caller)."""
     B, Hp, C, W_lane = xp.shape
-    R = _choose_rows(H, W, K * K * C, xp.dtype.itemsize)
+    R = _choose_rows(H, W, K, C, xp.dtype.itemsize)
     n_rows = R + K - 1
     grid = (B, H // R)
     xp_rows = xp.reshape(B, Hp * C, W_lane)
@@ -269,7 +286,7 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
         ),
         out_shape=jax.ShapeDtypeStruct((Cout, K * K * C), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((K * K * C, R * W), xp.dtype),
+            pltpu.VMEM((K * C, n_rows * W), xp.dtype),
             pltpu.VMEM((Cout, K * K * C), jnp.float32),
         ],
         interpret=_INTERPRET,
