@@ -79,18 +79,20 @@ def profitable(height: int, width: int, cin: int, cout: int,
 
     Lane-dense rows need W a multiple of 128; C_out must be a sublane
     multiple for the output row writes. The cin cap is empirical
-    (scripts/bench_pallas_conv.py --backward, TPU v5e): with cin <= 16
-    this kernel wins 1.26-2.55x fwd+bwd on every dispatched recipe shape
-    (XLA leaves the MXU contraction starved at k*k*16 <= 784); from
-    cin >= 32 XLA's own lowering reaches 23-64 TFLOP/s and wins (0.59-
-    0.98x), so those shapes stay on XLA.
+    (scripts/bench_pallas_conv.py --backward, TPU v5e, factored-im2col
+    kernel form): cin <= 16 wins 2.06-4.34x fwd+bwd, cin = 32 wins
+    1.44-1.73x (k4/k5), cin = 48 wins 1.31x (k4) to 2.17x (k7), and
+    cin = 96 only pays at k >= 5 (1.11x at k5; 0.99x at k4, where XLA's
+    spatially-batched lowering already reaches ~65 TFLOP/s). The earlier
+    cin <= 16 cap predates the factored dx-shifted-slab rewrite, whose
+    K-fold copy reduction moved the crossover.
     """
     return (
         width % 128 == 0
         and height % 2 == 0
         and cout % 16 == 0
         and cout <= 64
-        and cin <= 16
+        and (cin <= 48 or (cin <= 96 and kernel >= 5))
         and kernel * kernel * _round_up(cin, 16) >= 128
     )
 

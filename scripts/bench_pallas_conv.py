@@ -28,6 +28,8 @@ SHAPES = [
     (8, 128, 128, 32, 32, 4),
     (8, 128, 128, 96, 32, 4),
     (8, 256, 256, 48, 16, 4),
+    (8, 256, 256, 48, 16, 7),
+    (8, 128, 128, 96, 32, 5),
     (8, 256, 256, 3, 16, 7),
     (8, 256, 256, 16, 16, 7),
     (8, 128, 128, 16, 32, 5),

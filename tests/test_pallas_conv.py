@@ -16,23 +16,30 @@ from cyclegan_tpu.ops import pallas_conv
 
 # (H, W, Cin, Cout, K) — recipe layer shapes (configs/cycle.yaml at
 # 256x256; generator K=4, discriminator K=7/5/3), shrunk in H to keep the
-# interpreter fast; H only affects the grid, not the tiling. Shapes with
-# cin > 16 are no longer dispatched (the empirical gate keeps them on
-# XLA) but the kernel must stay numerically correct on them.
+# interpreter fast; H only affects the grid, not the tiling. The
+# empirical gate dispatches cin <= 48 at any K and cin <= 96 at K >= 5
+# (see pallas_conv.profitable); XLA-gated shapes must stay numerically
+# correct too.
 DISPATCHED_SHAPES = [
     (8, 256, 3, 16, 4),    # gen L0 conv1
     (8, 256, 16, 16, 4),   # gen L0 conv2
     (8, 128, 16, 32, 4),   # gen L1 conv1
-    (8, 128, 32, 32, 4),   # gen L1 conv2 (XLA-gated)
-    (8, 128, 96, 32, 4),   # up-path concat shape (XLA-gated)
-    (8, 256, 48, 16, 4),   # up-path concat shape (XLA-gated)
+    (8, 128, 32, 32, 4),   # gen L1 conv2
+    (8, 128, 96, 32, 4),   # up-path concat shape (XLA-gated: k4)
+    (8, 256, 48, 16, 4),   # up-path concat shape
     (4, 256, 3, 16, 7),    # disc L0 conv1
     (4, 256, 16, 16, 7),   # disc L0 conv2
     (4, 128, 16, 32, 5),   # disc L1 conv1
-    (4, 128, 32, 32, 5),   # disc L1 conv2 (XLA-gated)
-    (4, 128, 96, 32, 3),   # up-path concat shape (XLA-gated)
-    (4, 256, 48, 16, 5),   # up-path concat shape (XLA-gated)
+    (4, 128, 32, 32, 5),   # disc L1 conv2
+    (4, 128, 96, 32, 3),   # up-path concat shape (XLA-gated: k3)
+    (4, 256, 48, 16, 5),   # up-path concat shape
+    (4, 256, 48, 16, 7),   # disc up-path concat shape
+    (4, 128, 96, 32, 5),   # disc up-path concat shape
 ]
+
+
+def _gate_expected(cin, k):
+    return cin <= 48 or (cin <= 96 and k >= 5)
 
 
 @pytest.fixture(autouse=True)
@@ -50,7 +57,7 @@ def _rand(shape, seed, dtype=jnp.float32):
 
 @pytest.mark.parametrize("h,w,cin,cout,k", DISPATCHED_SHAPES)
 def test_forward_matches_xla(h, w, cin, cout, k):
-    assert pallas_conv.profitable(h, w, cin, cout, k) == (cin <= 16)
+    assert pallas_conv.profitable(h, w, cin, cout, k) == _gate_expected(cin, k)
     x = _rand((2, h, w, cin), seed=1)
     wt = _rand((k, k, cin, cout), seed=2) * 0.1
     ref = conv2d(x, wt, stride=1)
@@ -101,7 +108,11 @@ def test_profitable_gates():
     assert not pallas_conv.profitable(64, 64, 32, 64, 4)   # W=64
     assert not pallas_conv.profitable(256, 256, 16, 3, 1)  # head conv
     assert not pallas_conv.profitable(32, 128, 64, 128, 4)  # cout 128
-    assert not pallas_conv.profitable(256, 256, 32, 32, 4)  # cin > 16
+    assert not pallas_conv.profitable(128, 128, 96, 32, 4)  # cin 96 needs k>=5
+    assert not pallas_conv.profitable(128, 128, 128, 32, 5)  # cin > 96
+    assert pallas_conv.profitable(256, 256, 32, 32, 4)
+    assert pallas_conv.profitable(256, 256, 48, 16, 7)
+    assert pallas_conv.profitable(128, 128, 96, 32, 5)
     assert pallas_conv.profitable(256, 256, 3, 16, 4)
 
 
