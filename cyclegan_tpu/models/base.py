@@ -27,10 +27,18 @@ State = Dict[str, Any]
 @dataclasses.dataclass(frozen=True)
 class Model:
     """A functional network: ``init(key) -> (params, state)`` and
-    ``apply(params, state, x, train=False, rng=None) -> (y, new_state)``."""
+    ``apply(params, state, x, train=False, rng=None) -> (y, new_state)``.
+
+    ``batchable`` declares that ``apply`` on a batch-concatenation of two
+    inputs equals the concatenation of the two separate applications —
+    true for per-sample computation (instance norm, no dropout), false
+    when cross-sample coupling (batch-norm statistics) or per-application
+    randomness (dropout masks) exists. The train step uses it to fuse
+    independent network applications into one (steps.py)."""
 
     init: Callable[[jax.Array], Tuple[Params, State]]
     apply: Callable[..., Tuple[jnp.ndarray, State]]
+    batchable: bool = False
 
     def __call__(self, params, x, *, state=None, train=False, rng=None):
         """Convenience forward that discards state updates."""

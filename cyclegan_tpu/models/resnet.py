@@ -92,7 +92,7 @@ def resnet_generator(config: Mapping[str, Any]) -> Model:
         x = conv2d(x, params["head"]["w"], params["head"]["b"], padding="VALID")
         return jnp.tanh(x), {}
 
-    return Model(init=init, apply=apply)
+    return Model(init=init, apply=apply, batchable=True)
 
 
 def simple_discriminator(config: Mapping[str, Any]) -> Model:
@@ -132,4 +132,5 @@ def simple_discriminator(config: Mapping[str, Any]) -> Model:
         x = conv2d(x, params["head"]["w"], params["head"]["b"], stride=1)
         return x, new_state
 
-    return Model(init=init, apply=apply)
+    return Model(init=init, apply=apply,
+                 batchable=norm.lower() != "batchnorm")

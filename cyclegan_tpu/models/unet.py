@@ -222,7 +222,8 @@ def unet_generator(config: Mapping[str, Any]) -> Model:
         x = apply_activation(x, final_activation)
         return x, new_state
 
-    return Model(init=init, apply=apply)
+    return Model(init=init, apply=apply,
+                 batchable=not use_dropout and norm.lower() != "batchnorm")
 
 
 def strided_unet(config: Mapping[str, Any]) -> Model:
@@ -294,4 +295,5 @@ def strided_unet(config: Mapping[str, Any]) -> Model:
         x = apply_activation(x, final_activation)
         return x, new_state
 
-    return Model(init=init, apply=apply)
+    return Model(init=init, apply=apply,
+                 batchable=norm.lower() != "batchnorm")

@@ -90,6 +90,11 @@ class CycleGan:
         # lax.scan — amortizes host round-trips (dominant on tunneled TPUs).
         self.steps_per_call = int(train_config.get("steps_per_call", 1))
         self.remat = bool(train_config.get("remat", False))
+        # fuse_apps: batch each generator's independent translation +
+        # identity applications into one batch-2N application
+        # (Model.batchable; steps.py). Measured +12% on the ResNet recipe,
+        # -2% on the default skip-concat U-Net -- opt-in per config.
+        self.fuse_apps = bool(train_config.get("fuse_apps", False))
         if bool(train_config.get("pallas_norm", False)):
             from cyclegan_tpu.ops import pallas_norm
 
@@ -158,6 +163,7 @@ class CycleGan:
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             tpu_layout=self.tpu_layout,
+            fuse_apps=self.fuse_apps,
         )
         self.multi_step_fn = None
         if self.steps_per_call > 1:
@@ -173,6 +179,7 @@ class CycleGan:
                 compute_dtype=self.compute_dtype,
                 remat=self.remat,
                 tpu_layout=self.tpu_layout,
+                fuse_apps=self.fuse_apps,
             )
         self.validate_step_fn = make_validate_step(
             self.models,
@@ -182,6 +189,7 @@ class CycleGan:
             mesh=mesh,
             compute_dtype=self.compute_dtype,
             tpu_layout=self.tpu_layout,
+            fuse_apps=self.fuse_apps,
         )
         self._predict_fns: Dict[str, object] = {}
 

@@ -99,6 +99,54 @@ def test_single_backward_matches_reference_gradients(batch, loss_name):
         )
 
 
+def test_batched_applications_match_unbatched(batch):
+    """Model.batchable fuses the translation+identity generator
+    applications into one batch-2N application; per-sample networks make
+    this exactly equal to the separate-application formulation (losses,
+    metrics, and every per-group gradient)."""
+    import dataclasses
+
+    from cyclegan_tpu.losses import get_loss_obj
+    from cyclegan_tpu.steps import _forward_losses
+
+    models = build_models()
+    assert models["g_AB"].batchable and models["g_BA"].batchable
+    state, _ = build_state(models)
+    real_a, real_b = batch
+
+    def run(ms):
+        def surrogate(params):
+            total, metrics, _ = _forward_losses(
+                params, state.model_state, ms, get_loss_obj("mse"),
+                LOSS_WEIGHTS, real_a, real_b, train=True, rng=None,
+                stop_grads=True, fuse_apps=True,
+            )
+            return total, metrics
+
+        (total, metrics), grads = jax.value_and_grad(
+            surrogate, has_aux=True
+        )(state.params)
+        return total, metrics, grads
+
+    t_b, m_b, g_b = run(models)
+    unbatched = {
+        k: dataclasses.replace(v, batchable=False) for k, v in models.items()
+    }
+    t_u, m_u, g_u = run(unbatched)
+
+    np.testing.assert_allclose(float(t_b), float(t_u), rtol=1e-6)
+    for key in m_b:
+        np.testing.assert_allclose(
+            np.asarray(m_b[key]), np.asarray(m_u[key]), rtol=1e-5, atol=1e-6
+        )
+    for name in NETWORKS:
+        b_flat, _ = jax.flatten_util.ravel_pytree(g_b[name])
+        u_flat, _ = jax.flatten_util.ravel_pytree(g_u[name])
+        np.testing.assert_allclose(
+            np.asarray(b_flat), np.asarray(u_flat), atol=1e-6, rtol=1e-5
+        )
+
+
 def test_train_step_updates_all_networks(batch):
     models = build_models()
     state, optimizers = build_state(models)
