@@ -78,21 +78,33 @@ def profitable(height: int, width: int, cin: int, cout: int,
     """Dispatch gate.
 
     Lane-dense rows need W a multiple of 128; C_out must be a sublane
-    multiple for the output row writes. The cin cap is empirical
+    multiple for the output row writes. The cin caps are empirical
     (scripts/bench_pallas_conv.py --backward, TPU v5e, factored-im2col
-    kernel form): cin <= 16 wins 2.06-4.34x fwd+bwd, cin = 32 wins
-    1.44-1.73x (k4/k5), cin = 48 wins 1.31x (k4) to 2.17x (k7), and
-    cin = 96 only pays at k >= 5 (1.11x at k5; 0.99x at k4, where XLA's
-    spatially-batched lowering already reaches ~65 TFLOP/s). The earlier
-    cin <= 16 cap predates the factored dx-shifted-slab rewrite, whose
-    K-fold copy reduction moved the crossover.
+    kernel form), per kernel size against the recipe's real layer shapes:
+
+    - k4: wins through cin 160 — 3..48: 1.31-4.03x, 64: 1.33x, 80: 1.04x,
+      160: 1.10x (the gen up-path concat convs).
+    - k5/k7: wins through cin 96 — 32 k5: 1.73x, 48 k7: 2.17x,
+      80 k5: 1.21x, 96 k5: 1.11x.
+    - k3: wins only through cin 64 — 64: 1.09x, 96: 0.76x (XLA's
+      spatially-batched lowering reaches ~99 TF/s on the disc's
+      96->64 k3, keep it there).
+
+    The original cin <= 16 cap predates the factored dx-shifted-slab
+    rewrite, whose K-fold copy reduction moved every crossover.
     """
+    if kernel >= 5:
+        cin_ok = cin <= 96
+    elif kernel == 4:
+        cin_ok = cin <= 160
+    else:
+        cin_ok = cin <= 64
     return (
         width % 128 == 0
         and height % 2 == 0
         and cout % 16 == 0
         and cout <= 64
-        and (cin <= 48 or (cin <= 96 and kernel >= 5))
+        and cin_ok
         and kernel * kernel * _round_up(cin, 16) >= 128
     )
 

@@ -30,6 +30,12 @@ SHAPES = [
     (8, 256, 256, 48, 16, 4),
     (8, 256, 256, 48, 16, 7),
     (8, 128, 128, 96, 32, 5),
+    # true up-path shapes of the default recipe (the double_conv emits
+    # the lower level's filter count; see BASELINE round-2 notes)
+    (8, 128, 128, 64, 64, 4),
+    (8, 128, 128, 160, 64, 4),
+    (8, 128, 128, 96, 64, 3),
+    (8, 128, 128, 64, 64, 3),
     (8, 256, 256, 3, 16, 7),
     (8, 256, 256, 16, 16, 7),
     (8, 128, 128, 16, 32, 5),

@@ -61,6 +61,11 @@ def build(tpu_layout: bool):
 def group_key(name: str) -> str:
     """Collapse an HLO op name to an attribution bucket."""
     n = name.lower()
+    if n.startswith(("_conv_kernel", "_dw_kernel", "_conv1x1_kernel",
+                     "_dw1x1_kernel", "_fwd_kernel", "_bwd_kernel",
+                     "_sum2x2", "_dup2x2")):
+        # Pallas kernels show up under their kernel-function names
+        return "pallas-kernel"
     if "custom-call" in n or "pallas" in n or "tpu_custom_call" in n:
         return "pallas-kernel"
     if "convolution" in n or "conv" in n:
@@ -131,23 +136,32 @@ def main():
         trace = json.load(f)
 
     events = trace.get("traceEvents", [])
-    # Find device-side lanes: TPU op events carry 'dur' and a pid whose
-    # process name mentions TPU/device. Fall back to all complete events.
-    pid_names = {}
+    # Use ONLY the device "XLA Ops" lane: the trace also carries "Steps"
+    # and "XLA Modules" lanes whose events span whole steps — summing all
+    # lanes triple-counts device time.
+    pid_names, tid_names = {}, {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e.get("pid"), e.get("tid"))] = (
+                e.get("args", {}).get("name", "")
+            )
     device_pids = {p for p, n in pid_names.items()
                    if "tpu" in n.lower() or "device" in n.lower()
                    or "xla" in n.lower()}
+    op_lanes = {k for k, n in tid_names.items() if n == "XLA Ops"}
 
     by_group = collections.Counter()
     by_name = collections.Counter()
+    by_source = collections.Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
         if device_pids and e.get("pid") not in device_pids:
+            continue
+        if op_lanes and (e.get("pid"), e.get("tid")) not in op_lanes:
             continue
         name = e.get("name", "")
         dur = e["dur"]
@@ -155,7 +169,8 @@ def main():
         if dur > 1e6 or name.startswith(("jit_", "pjit")):
             continue
         by_group[group_key(name)] += dur
-        by_name[name] += dur
+        by_name[name.split(".")[0]] += dur
+        by_source[e.get("args", {}).get("source", "?")] += dur
         total += dur
 
     n = max(args.steps, 1)
@@ -166,9 +181,12 @@ def main():
     print("== by group (ms/step) ==")
     for g, d in by_group.most_common():
         print(f"  {g:24s} {d/1e3/n:8.2f}  ({100*d/max(total,1):4.1f}%)")
-    print("\n== top 25 ops (ms/step) ==")
+    print("\n== top 25 op prefixes (ms/step) ==")
     for name, d in by_name.most_common(25):
         print(f"  {d/1e3/n:8.3f}  {name[:110]}")
+    print("\n== top 20 sources (ms/step) ==")
+    for src, d in by_source.most_common(20):
+        print(f"  {d/1e3/n:8.3f}  {src[:100]}")
 
 
 if __name__ == "__main__":

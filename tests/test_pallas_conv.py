@@ -35,11 +35,21 @@ DISPATCHED_SHAPES = [
     (4, 256, 48, 16, 5),   # up-path concat shape
     (4, 256, 48, 16, 7),   # disc up-path concat shape
     (4, 128, 96, 32, 5),   # disc up-path concat shape
+    (4, 128, 64, 64, 4),   # gen up conv2 @128
+    (4, 128, 160, 64, 4),  # gen up concat conv @128
+    (2, 128, 96, 64, 3),   # disc up concat conv @128 (XLA-gated: k3)
+    (2, 128, 64, 64, 3),   # disc up conv2 @128
+    (2, 256, 80, 32, 4),   # gen up concat conv @256
+    (2, 256, 80, 32, 5),   # disc up concat conv @256
 ]
 
 
 def _gate_expected(cin, k):
-    return cin <= 48 or (cin <= 96 and k >= 5)
+    if k >= 5:
+        return cin <= 96
+    if k == 4:
+        return cin <= 160
+    return cin <= 64
 
 
 @pytest.fixture(autouse=True)
@@ -108,11 +118,14 @@ def test_profitable_gates():
     assert not pallas_conv.profitable(64, 64, 32, 64, 4)   # W=64
     assert not pallas_conv.profitable(256, 256, 16, 3, 1)  # head conv
     assert not pallas_conv.profitable(32, 128, 64, 128, 4)  # cout 128
-    assert not pallas_conv.profitable(128, 128, 96, 32, 4)  # cin 96 needs k>=5
-    assert not pallas_conv.profitable(128, 128, 128, 32, 5)  # cin > 96
+    assert not pallas_conv.profitable(128, 128, 96, 64, 3)  # k3 caps at 64
+    assert not pallas_conv.profitable(128, 128, 128, 32, 5)  # k5 caps at 96
+    assert not pallas_conv.profitable(128, 128, 192, 64, 4)  # k4 caps at 160
     assert pallas_conv.profitable(256, 256, 32, 32, 4)
     assert pallas_conv.profitable(256, 256, 48, 16, 7)
     assert pallas_conv.profitable(128, 128, 96, 32, 5)
+    assert pallas_conv.profitable(128, 128, 160, 64, 4)
+    assert pallas_conv.profitable(128, 128, 64, 64, 3)
     assert pallas_conv.profitable(256, 256, 3, 16, 4)
 
 
