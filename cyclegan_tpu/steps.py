@@ -11,9 +11,11 @@ SINGLE backward pass over one scalar:
   the discriminator params**, so they contribute only generator gradients;
 - discriminator terms use **stop_gradient on the fake images**, so they
   contribute only discriminator gradients;
-- the duplicated discriminator applications are identical in the forward
-  HLO (stop_gradient is identity), so XLA CSEs them — the forward cost
-  stays at 6 G + 4 D applications.
+- the two fake-view discriminator applications (generator view / disc
+  view) share ONE forward through a dual-view custom VJP
+  (:func:`_dual_disc_views`) — XLA CSE deduped them in pure-XLA mode but
+  not in Pallas kernel mode — so the forward cost stays at 6 G + 4 D
+  applications.
 
 The per-parameter-group gradients of this scalar are exactly the
 reference's four tape.gradients, including the shared cycle term flowing
@@ -109,6 +111,46 @@ def _cast_floats(tree: Any, dtype) -> Any:
         return x
 
     return jax.tree_util.tree_map(cast, tree)
+
+
+def _dual_disc_views(d_apply, p, x):
+    """One discriminator forward, two gradient views.
+
+    ``y_gen = d(stop_grad(p), x)`` and ``y_d = d(p, stop_grad(x))`` are
+    forward-identical, and the module docstring's round-1 design relied
+    on XLA CSE to dedupe them. That holds for XLA-lowered convs but NOT
+    for Pallas kernels: custom-calls are not CSE candidates, so in
+    ``tpu_layout`` kernel mode the step silently paid two extra
+    discriminator forwards (trace: 6 disc applications/step instead of
+    4). This wrapper shares ONE primal application and routes the two
+    cotangents separately: the generator-view cotangent pulls back only
+    into ``x`` (adversarial terms update the generators), the
+    discriminator-view cotangent only into ``p``. Each pullback's unused
+    half is dead code — pallas_call lowers side-effect-free, so XLA
+    drops the dead dX/dW kernels.
+
+    ``d_apply(p, x)`` must return ``(y, state)``; state updates are
+    non-differentiable aux, as everywhere else in the step. Returns
+    ``(y_gen, y_view_d, new_state)``.
+    """
+
+    @jax.custom_vjp
+    def dual(p, x):
+        y, st = d_apply(p, x)
+        return y, y, st
+
+    def fwd(p, x):
+        y, vjp, st = jax.vjp(d_apply, p, x, has_aux=True)
+        return (y, y, st), vjp
+
+    def bwd(vjp, cts):
+        g_gen, g_d, _ = cts  # state cotangent ignored (aux)
+        _, dx = vjp(g_gen)
+        dp, _ = vjp(g_d)
+        return dp, dx
+
+    dual.defvjp(fwd, bwd)
+    return dual(p, x)
 
 
 def _forward_losses(
@@ -216,17 +258,26 @@ def _forward_losses(
         same_a, _ = g_ba(real_a_net, rngs[4])
         same_b, _ = g_ab(real_b_net, rngs[5])
 
-    # Generator-view discriminator outputs: disc params stopped, so the
-    # adversarial terms backprop only into the generators.
-    disc_fake_a_gen, _ = d_a(sg(params["d_A"]), fake_a)
-    disc_fake_b_gen, _ = d_b(sg(params["d_B"]), fake_b)
-    # Discriminator-view outputs: fakes stopped, so the discriminator terms
-    # backprop only into the discriminators. Forward-identical to the
-    # generator-view applications -> CSE'd by XLA.
     disc_real_a, st_da1 = d_a(params["d_A"], real_a_net)
     disc_real_b, st_db1 = d_b(params["d_B"], real_b_net)
-    disc_fake_a_d, st_da2 = d_a(params["d_A"], sg(fake_a))
-    disc_fake_b_d, st_db2 = d_b(params["d_B"], sg(fake_b))
+    if stop_grads:
+        # Generator-view (disc params stopped: adversarial terms backprop
+        # only into the generators) and discriminator-view (fakes
+        # stopped) outputs share ONE forward via the dual-view custom
+        # VJP — see _dual_disc_views for why CSE alone is not enough in
+        # Pallas kernel mode.
+        disc_fake_a_gen, disc_fake_a_d, st_da2 = _dual_disc_views(
+            d_a, params["d_A"], fake_a
+        )
+        disc_fake_b_gen, disc_fake_b_d, st_db2 = _dual_disc_views(
+            d_b, params["d_B"], fake_b
+        )
+    else:
+        # No-stop-gradient mode (validate/metrics): plain applications.
+        disc_fake_a_gen, _ = d_a(params["d_A"], fake_a)
+        disc_fake_b_gen, _ = d_b(params["d_B"], fake_b)
+        disc_fake_a_d, st_da2 = d_a(params["d_A"], fake_a)
+        disc_fake_b_d, st_db2 = d_b(params["d_B"], fake_b)
 
     # Losses in f32 regardless of compute dtype.
     f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
@@ -362,8 +413,15 @@ def _forward_losses_paired(
 
     fakes = jnp.stack([fake_a, fake_b])
     d_real = vd(pd, jnp.stack([real_a_net, real_b_net]))
-    d_fake_gen = vd(sg(pd), fakes)
-    d_fake_d = vd(pd, sg(fakes))
+    if stop_grads:
+        # Shared-forward dual view (see _dual_disc_views); state aux is
+        # an empty tuple — the paired path requires stateless models.
+        d_fake_gen, d_fake_d, _ = _dual_disc_views(
+            lambda pp, xx: (vd(pp, xx), ()), pd, fakes
+        )
+    else:
+        d_fake_gen = vd(pd, fakes)
+        d_fake_d = vd(pd, fakes)
     disc_real_a, disc_real_b = d_real[0], d_real[1]
     disc_fake_a_gen, disc_fake_b_gen = d_fake_gen[0], d_fake_gen[1]
     disc_fake_a_d, disc_fake_b_d = d_fake_d[0], d_fake_d[1]

@@ -374,3 +374,50 @@ def test_paired_forward_matches(batch):
     p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
     p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+def test_dual_disc_views_gradient_routing():
+    """The shared-forward dual view (steps._dual_disc_views) must route
+    the generator-view cotangent only into the input and the
+    discriminator-view cotangent only into the params — the same
+    semantics as d(sg(p), x) / d(p, sg(x)) with two applications."""
+    from cyclegan_tpu.steps import _dual_disc_views
+
+    models = build_models()
+    d = models["d_A"]
+    p, s = d.init(jax.random.PRNGKey(3))
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 16, 16, 3))
+
+    def d_apply(pp, xx):
+        return d.apply(pp, s, xx, train=True)
+
+    def loss_dual(pp, xx, w_gen, w_d):
+        y_gen, y_d, _ = _dual_disc_views(d_apply, pp, xx)
+        return w_gen * jnp.sum(y_gen**2) + w_d * jnp.sum((y_d - 1.0) ** 2)
+
+    def loss_two_apps(pp, xx, w_gen, w_d):
+        y_gen, _ = d_apply(jax.lax.stop_gradient(pp), xx)
+        y_d, _ = d_apply(pp, jax.lax.stop_gradient(xx))
+        return w_gen * jnp.sum(y_gen**2) + w_d * jnp.sum((y_d - 1.0) ** 2)
+
+    for w_gen, w_d in [(1.0, 0.0), (0.0, 1.0), (0.7, 1.3)]:
+        gp_dual, gx_dual = jax.grad(loss_dual, argnums=(0, 1))(
+            p, x, w_gen, w_d
+        )
+        gp_ref, gx_ref = jax.grad(loss_two_apps, argnums=(0, 1))(
+            p, x, w_gen, w_d
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gp_dual),
+            jax.tree_util.tree_leaves(gp_ref),
+        ):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(gx_dual, gx_ref, rtol=1e-6, atol=1e-6)
+    # gen-view-only loss leaves params untouched; disc-view-only leaves x
+    gp_gen_only = jax.grad(loss_dual, argnums=0)(p, x, 1.0, 0.0)
+    assert all(
+        np.allclose(leaf, 0.0)
+        for leaf in jax.tree_util.tree_leaves(gp_gen_only)
+    )
+    gx_d_only = jax.grad(loss_dual, argnums=1)(p, x, 0.0, 1.0)
+    assert np.allclose(gx_d_only, 0.0)
