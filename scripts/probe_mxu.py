@@ -21,13 +21,17 @@ Methodology notes (all learned the hard way):
 Run:  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/probe_mxu.py
 """
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-ITERS = 32  # in-graph executions per dispatch
+# In-graph executions per dispatch. At microsecond op scale the 32
+# default leaves the 6-call marginal under ~10 ms — below tunnel jitter;
+# raise via PROBE_ITERS (e.g. 512) when single-digit-us ops are probed.
+ITERS = int(os.environ.get("PROBE_ITERS", "32"))
 
 
 def chain_time(fn, x, calls=6, warmup=2):
