@@ -58,6 +58,18 @@ _INTERPRET = False  # set True in tests to run kernels on CPU
 # vs per-dy (K narrow matmuls). Stacked measured faster on every
 # dispatched shape; the per-dy form is kept for A/B benching.
 _DW_STACKED = os.environ.get("PALLAS_DW_FORM", "stacked") == "stacked"
+# Forward/dX kernel form: same stacked-M trade as dW — the per-dy form
+# runs K matmuls with M = Cout (16-64 of the MXU's 128 output rows);
+# the stacked form runs ONE matmul with M = K*Cout over the full
+# n_rows*W slab lanes, then reduces the K row-blocks with lane-shifted
+# VPU adds. NEGATIVE RESULT, default off: unlike dW, the forward is
+# slab-copy-bound, not MXU-pass-bound — the stacked form's f32 product
+# block shrinks R (VMEM), inflating halo-copy volume, and it also runs
+# through the dX path where Cout = Cin_pad (up to 160) blows M past one
+# MXU tile. A/B on-chip: whole recipe 64.2 vs 72.1 img/s; per shape
+# 3->16 k4 fwd 155us vs 159us (only win), 48->16 k7 fwd 1320us vs
+# 1025us. Kept for A/B benching.
+_FWD_STACKED = os.environ.get("PALLAS_FWD_FORM", "perdy") == "stacked"
 
 
 def enable(on: bool = True) -> None:
@@ -122,12 +134,15 @@ def _tf_same_pad(kernel: int) -> Tuple[int, int]:
 
 
 def _choose_rows(height: int, width: int, k: int, c: int,
-                 itemsize: int) -> int:
+                 itemsize: int, extra_per_row: int = 0) -> int:
     """Rows per grid step: target ~4k lanes of output per matmul
     (f32 accumulator register pressure), capped so the dx-shifted
-    scratch [K*C, (R+K-1)*W] stays within ~3.5 MB of VMEM, while
-    dividing H evenly (static shapes everywhere)."""
-    max_n_rows = max(k, 3_500_000 // (k * c * width * itemsize))
+    scratch [K*C, (R+K-1)*W] — plus `extra_per_row` bytes per slab row
+    for any form-specific intermediate (the stacked forward's f32
+    product block) — stays within ~3.5 MB of VMEM, while dividing H
+    evenly (static shapes everywhere)."""
+    per_row = k * c * width * itemsize + extra_per_row
+    max_n_rows = max(k, 3_500_000 // per_row)
     target = max(1, min(4096 // width, max_n_rows - k + 1))
     for cand in range(min(target, height), 0, -1):
         if height % cand == 0:
@@ -173,13 +188,45 @@ def _conv_kernel(*refs, K, C, Cout, R, W, n_rows):
         out_ref[0, r * Cout:(r + 1) * Cout, :] = acc[:, r * W:(r + 1) * W]
 
 
+def _conv_kernel_stacked(*refs, K, C, Cout, R, W, n_rows):
+    """Stacked-M forward: ONE matmul with M = K*Cout output rows.
+
+    The per-dy form's K matmuls each run the MXU at Cout/128 row
+    occupancy (12-50% for the recipe's 16-64 channels). Here the dy
+    blocks are stacked along M — w2s rows dy*Cout..(dy+1)*Cout hold
+    W2[:, dy-block] — and contracted against the FULL n_rows*W slab
+    lanes:
+
+        p[dy*Cout + co, L] = W2_dy[co, :] . shifted[:, L]
+
+    The per-dy result is then the lane slice p[dy-block, dy*W : dy*W +
+    R*W] (exactly the narrow form's operand window), so y is a K-term
+    VPU shift-add over row blocks. M grows K-fold for an (R+K-1)/R lane
+    inflation of the matmul."""
+    rows, (w2s_ref, out_ref, shifted) = refs[:n_rows], refs[n_rows:]
+    _fill_shifted(rows, shifted, K, C, W, n_rows)
+    p = jax.lax.dot_general(
+        w2s_ref[:, :],
+        shifted[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = p[:Cout, : R * W]
+    for dy in range(1, K):
+        acc = acc + p[dy * Cout:(dy + 1) * Cout, dy * W:dy * W + R * W]
+    acc = acc.astype(out_ref.dtype)
+    for r in range(R):
+        out_ref[0, r * Cout:(r + 1) * Cout, :] = acc[:, r * W:(r + 1) * W]
+
+
 def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
                       W: int) -> jnp.ndarray:
     """xp: [B, Hp, C, W_lane] spatially padded NHCW (Hp = H + K - 1,
     W_lane >= W + K - 1). w2: [Cout, K*K*C]. Returns [B, H, Cout, W]."""
     B, Hp, C, W_lane = xp.shape
     Cout = w2.shape[0]
-    R = _choose_rows(H, W, K, C, xp.dtype.itemsize)
+    extra = K * Cout * W * 4 if _FWD_STACKED else 0
+    R = _choose_rows(H, W, K, C, xp.dtype.itemsize, extra)
     n_rows = R + K - 1
     grid = (B, H // R)
 
@@ -192,16 +239,27 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
             memory_space=pltpu.VMEM,
         )
 
-    kernel = functools.partial(
-        _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows
-    )
+    if _FWD_STACKED:
+        KC = K * C
+        w_op = w2.reshape(Cout, K, KC).swapaxes(0, 1).reshape(K * Cout, KC)
+        w_shape = (K * Cout, KC)
+        kernel = functools.partial(
+            _conv_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=W,
+            n_rows=n_rows
+        )
+    else:
+        w_op = w2
+        w_shape = (Cout, K * K * C)
+        kernel = functools.partial(
+            _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows
+        )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[row_spec(j) for j in range(n_rows)]
         + [
             pl.BlockSpec(
-                (Cout, K * K * C), lambda b, i: (0, 0),
+                w_shape, lambda b, i: (0, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
@@ -218,7 +276,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
             * xp.dtype.itemsize,
             transcendentals=0,
         ),
-    )(*([xp_rows] * n_rows), w2)
+    )(*([xp_rows] * n_rows), w_op)
     return out.reshape(B, H, Cout, W)
 
 
