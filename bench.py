@@ -162,6 +162,7 @@ def main():
         and not args.paired
     if use_kernels:
         from cyclegan_tpu.ops import (
+            pallas_concat,
             pallas_conv,
             pallas_norm_act,
             pallas_resize,
@@ -170,6 +171,7 @@ def main():
         pallas_conv.enable(True)
         pallas_resize.enable(True)
         pallas_norm_act.enable(True)
+        pallas_concat.enable(True)
 
     train_step, state, real_a, real_b, n_devices = build_step(
         args.batch, args.image_size, args.dtype, args.model_config,

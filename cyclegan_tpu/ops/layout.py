@@ -69,6 +69,19 @@ def spatial_axes() -> tuple:
 
 
 def concat_channels(xs) -> jnp.ndarray:
+    if is_nhcw() and len(xs) == 2:
+        from cyclegan_tpu.ops import pallas_concat
+
+        a, b = xs
+        if (
+            pallas_concat.is_enabled()
+            and a.dtype == jnp.bfloat16
+            and b.dtype == jnp.bfloat16
+            and a.ndim == 4
+            and pallas_concat.profitable(a.shape[1], a.shape[3],
+                                         a.shape[2], b.shape[2])
+        ):
+            return pallas_concat.concat2_nhcw(a, b)
     return jnp.concatenate(xs, axis=channel_axis())
 
 

@@ -108,6 +108,7 @@ class CycleGan:
         self.tpu_layout = bool(train_config.get("tpu_layout", False))
         if self.tpu_layout:
             from cyclegan_tpu.ops import (
+                pallas_concat,
                 pallas_conv,
                 pallas_norm_act,
                 pallas_resize,
@@ -116,12 +117,14 @@ class CycleGan:
             pallas_conv.enable(True)
             pallas_resize.enable(True)
             pallas_norm_act.enable(True)
+            pallas_concat.enable(True)
             if jax.default_backend() != "tpu":
                 # CPU/CI: run the kernels through the Pallas interpreter
                 # so the layout path stays testable off-TPU
                 pallas_conv.set_interpret(True)
                 pallas_resize.set_interpret(True)
                 pallas_norm_act.set_interpret(True)
+                pallas_concat.set_interpret(True)
 
         self.models = {
             "g_AB": create_model(model_config.generator),

@@ -93,6 +93,7 @@ def main():
     ap.add_argument("--pallas-conv", action="store_true")
     ap.add_argument("--pallas-resize", action="store_true")
     ap.add_argument("--pallas-norm-act", action="store_true")
+    ap.add_argument("--pallas-concat", action="store_true")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--out", default="/tmp/trace_step")
     args = ap.parse_args()
@@ -111,6 +112,11 @@ def main():
         from cyclegan_tpu.ops import pallas_norm_act
 
         pallas_norm_act.enable(True)
+
+    if args.pallas_concat:
+        from cyclegan_tpu.ops import pallas_concat
+
+        pallas_concat.enable(True)
 
     train, state, x = build(args.nhcw)
 
