@@ -34,7 +34,7 @@ from cyclegan_tpu.ops import (
     concat_channels,
     conv2d,
     conv2d_transpose,
-    upsample_nearest_2x,
+    upsample_concat,
 )
 import jax.numpy as jnp
 
@@ -89,15 +89,20 @@ def _pool_consumer_pallas(x, channels: int) -> bool:
     )
 
 
-def _upsample_consumer_pallas(x, channels: int) -> bool:
-    from cyclegan_tpu.ops import layout, pallas_resize
+def _upsample_consumer_pallas(x, channels: int, skip_channels: int) -> bool:
+    """Will the up-path junction consuming this dc output run as a Pallas
+    op? Either the fused upsample+concat kernel (preferred) or the
+    standalone upsample."""
+    from cyclegan_tpu.ops import layout, pallas_concat, pallas_resize
 
-    return (
-        layout.is_nhcw()
-        and pallas_resize.is_enabled()
-        and pallas_resize.upsample_profitable(
-            x.shape[1], x.shape[3], channels
-        )
+    if not layout.is_nhcw():
+        return False
+    if pallas_concat.is_enabled() and pallas_concat.up_profitable(
+        x.shape[1], x.shape[3], skip_channels, channels
+    ):
+        return True
+    return pallas_resize.is_enabled() and pallas_resize.upsample_profitable(
+        x.shape[1], x.shape[3], channels
     )
 
 
@@ -180,11 +185,14 @@ def unet_generator(config: Mapping[str, Any]) -> Model:
             new_state["down"].append(ns)
             skips.insert(0, x)
             x = avg_pool2x2(x)
+        up_skip_channels = [f for f, _ in down_specs][::-1]
         x, ns = _apply_double_conv(
             params["bottom"], state["bottom"], x, norm, use_dropout, train,
             take_rngs(),
             consumer_pallas=(expansion == "upsample"
-                             and _upsample_consumer_pallas(x, filters[-1])),
+                             and bool(up_skip_channels)
+                             and _upsample_consumer_pallas(
+                                 x, filters[-1], up_skip_channels[0])),
         )
         new_state["bottom"] = ns
         n_up = len(params["up"])
@@ -193,14 +201,14 @@ def unet_generator(config: Mapping[str, Any]) -> Model:
         ):
             level_s: Dict[str, Any] = {}
             if expansion == "upsample":
-                x = upsample_nearest_2x(x)
+                x = upsample_concat(skip, x)
             else:
                 x = conv2d_transpose(x, p["convt"]["w"], p["convt"].get("b"), stride=2)
                 x, level_s["convt_norm"] = apply_norm_act(
                     p["convt_norm"], s["convt_norm"], x, norm, train, "relu",
                     fused_ok=False,  # conv-transpose is XLA-lowered
                 )
-            x = concat_channels([skip, x])
+                x = concat_channels([skip, x])
             if li == n_up - 1:
                 # head 1x1 is the consumer; its Pallas gate mirrors
                 # conv.uses_pallas (lane-aligned W, sublane cin)
@@ -212,7 +220,8 @@ def unet_generator(config: Mapping[str, Any]) -> Model:
                       and _pc.profitable_1x1(
                           x.shape[3], f_out, output_channels))
             else:
-                cp = _upsample_consumer_pallas(x, up_filters[li])
+                cp = _upsample_consumer_pallas(
+                    x, up_filters[li], up_skip_channels[li + 1])
             x, level_s["dc"] = _apply_double_conv(
                 p["dc"], s["dc"], x, norm, use_dropout, train, take_rngs(),
                 consumer_pallas=cp,

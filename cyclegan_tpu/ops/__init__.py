@@ -12,7 +12,11 @@ from cyclegan_tpu.ops.conv import conv2d, conv2d_transpose
 from cyclegan_tpu.ops.norm import batch_norm_stats, instance_norm
 from cyclegan_tpu.ops.pad import reflection_pad2d
 from cyclegan_tpu.ops.pool import avg_pool2x2
-from cyclegan_tpu.ops.resize import resize_bilinear, upsample_nearest_2x
+from cyclegan_tpu.ops.resize import (
+    resize_bilinear,
+    upsample_concat,
+    upsample_nearest_2x,
+)
 
 __all__ = [
     "apply_activation",
@@ -26,5 +30,6 @@ __all__ = [
     "reflection_pad2d",
     "avg_pool2x2",
     "resize_bilinear",
+    "upsample_concat",
     "upsample_nearest_2x",
 ]

@@ -148,3 +148,147 @@ def _concat2_bwd(c1, g):
 
 
 concat2_nhcw.defvjp(_concat2_fwd, _concat2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused nearest-2x-upsample + channel-concat: the pooled U-Net's up path
+# computes concat(skip, upsample2x(x)) (reference: UpSampling2D ->
+# Concatenate, cyclegan/unet.py:112-113). Fusing the two removes the
+# materialized upsampled tensor (a full write + re-read of [B,2h,C2,2w])
+# and extends Pallas coverage to the w=64 level the standalone upsample
+# gate (pallas_resize.upsample_profitable: W%128) rejects — here only
+# the 2w-wide OUTPUT must be lane-aligned, so w%64 suffices (Mosaic
+# masks the 64-lane minor tiles of the x operand).
+#
+# The adjoint is likewise one kernel: dskip = g[:, :, :C1, :] and
+# dx = 2x2 lane/row-pair sums of g[:, :, C1:, :], both written from a
+# single read of g. Lane-pair duplication/summation run as 0/1-matrix
+# MXU contractions (exact; same trick as pallas_resize).
+# ---------------------------------------------------------------------------
+
+
+def up_profitable(height: int, width: int, c1: int, c2: int) -> bool:
+    """skip is [B, 2*height, c1, 2*width]; x is [B, height, c2, width]."""
+    return (
+        width % 64 == 0 and c1 % 16 == 0 and c2 % 16 == 0
+    )
+
+
+def _interleave_matrix(w: int) -> jnp.ndarray:
+    """E[w, 2w] with E[j, 2j] = E[j, 2j+1] = 1: lane duplication."""
+    j = jnp.arange(w)[:, None]
+    i = jnp.arange(2 * w)[None, :]
+    return (i // 2 == j).astype(jnp.float32)
+
+
+def _pair_sum_matrix(w2: int) -> jnp.ndarray:
+    """P[w2, w2/2] with P[2j, j] = P[2j+1, j] = 1: lane-pair summation."""
+    i = jnp.arange(w2)[:, None]
+    j = jnp.arange(w2 // 2)[None, :]
+    return (i // 2 == j).astype(jnp.float32)
+
+
+def _concat_up2_kernel(skip_ref, x_ref, e_ref, out_ref, *, C1):
+    wide = jax.lax.dot_general(
+        x_ref[0, 0, :, :].astype(jnp.float32), e_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+    for r in range(2):
+        out_ref[0, r, :C1, :] = skip_ref[0, r, :, :]
+        out_ref[0, r, C1:, :] = wide
+
+
+def _split_pool2_kernel(g_ref, p_ref, dskip_ref, dx_ref, *, C1):
+    rows = None
+    for r in range(2):
+        dskip_ref[0, r, :, :] = g_ref[0, r, :C1, :]
+        part = g_ref[0, r, C1:, :].astype(jnp.float32)
+        rows = part if rows is None else rows + part
+    dx_ref[0, 0, :, :] = jax.lax.dot_general(
+        rows, p_ref[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+
+
+@jax.custom_vjp
+def concat_up2_nhcw(skip: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """concat(skip, upsample_nearest_2x(x)) on the channel axis, NHCW.
+    skip: [B, 2h, C1, 2w]; x: [B, h, C2, w] -> [B, 2h, C1+C2, 2w]."""
+    return _concat_up2_impl(skip, x)
+
+
+def _concat_up2_impl(skip, x):
+    B, H, C1, W = skip.shape
+    h, C2, w = x.shape[1], x.shape[2], x.shape[3]
+    C = C1 + C2
+    grid = (B, h)
+    e = _interleave_matrix(w)
+    return pl.pallas_call(
+        functools.partial(_concat_up2_kernel, C1=C1),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, C1, W), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C2, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, W), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, C, W), lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, W), skip.dtype),
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * h * C2 * w * W,
+            bytes_accessed=(2 * B * H * C1 * W + B * h * C2 * w
+                            + B * H * C2 * W) * skip.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(skip, x, e)
+
+
+def _split_pool2(g, C1, c2_dtype):
+    B, H, C, W = g.shape
+    C2 = C - C1
+    h, w = H // 2, W // 2
+    grid = (B, h)
+    p = _pair_sum_matrix(W)
+    return pl.pallas_call(
+        functools.partial(_split_pool2_kernel, C1=C1),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, C, W), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, w), lambda bi, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, C1, W), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C2, w), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, C1, W), g.dtype),
+            jax.ShapeDtypeStruct((B, h, C2, w), c2_dtype),
+        ],
+        interpret=_INTERPRET,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * h * C2 * W * w,
+            bytes_accessed=2 * B * H * C * W * g.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(g, p)
+
+
+def _concat_up2_fwd(skip, x):
+    return _concat_up2_impl(skip, x), skip.shape[2]
+
+
+def _concat_up2_bwd(c1, g):
+    return tuple(_split_pool2(g, c1, g.dtype))
+
+
+concat_up2_nhcw.defvjp(_concat_up2_fwd, _concat_up2_bwd)

@@ -70,6 +70,12 @@ _DW_STACKED = os.environ.get("PALLAS_DW_FORM", "stacked") == "stacked"
 # 3->16 k4 fwd 155us vs 159us (only win), 48->16 k7 fwd 1320us vs
 # 1025us. Kept for A/B benching.
 _FWD_STACKED = os.environ.get("PALLAS_FWD_FORM", "perdy") == "stacked"
+# VMEM budget for the dx-shifted slab scratch. Larger budgets allow more
+# rows R per grid step, amortizing the (R+K-1)/R halo re-read/re-shift
+# overhead — the kernel's measured bottleneck (see the stacked-forward
+# negative result in BASELINE.md). v5e has >= 64 MB of VMEM; the
+# original 3.5 MB cap predates the vmem_limit_bytes compiler param.
+_VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(3_500_000)))
 
 
 def enable(on: bool = True) -> None:
@@ -139,10 +145,10 @@ def _choose_rows(height: int, width: int, k: int, c: int,
     (f32 accumulator register pressure), capped so the dx-shifted
     scratch [K*C, (R+K-1)*W] — plus `extra_per_row` bytes per slab row
     for any form-specific intermediate (the stacked forward's f32
-    product block) — stays within ~3.5 MB of VMEM, while dividing H
+    product block) — stays within the _VMEM_CAP budget, while dividing H
     evenly (static shapes everywhere)."""
     per_row = k * c * width * itemsize + extra_per_row
-    max_n_rows = max(k, 3_500_000 // per_row)
+    max_n_rows = max(k, _VMEM_CAP // per_row)
     target = max(1, min(4096 // width, max_n_rows - k + 1))
     for cand in range(min(target, height), 0, -1):
         if height % cand == 0:
@@ -275,6 +281,9 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
             bytes_accessed=(B * Hp * C * W_lane + B * H * Cout * W)
             * xp.dtype.itemsize,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(*([xp_rows] * n_rows), w_op)
     return out.reshape(B, H, Cout, W)
@@ -438,6 +447,9 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
             * xp.dtype.itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(*([xp_rows] * n_rows), dy_rows)
 
 
@@ -542,7 +554,7 @@ def _conv1x1_kernel(x_ref, w2_ref, out_ref, *, C, Cout, R, W):
 
 
 def _choose_rows_1x1(height: int, width: int, c: int, itemsize: int) -> int:
-    vmem_lanes = (3_500_000 // (c * itemsize) // 128) * 128
+    vmem_lanes = (_VMEM_CAP // (c * itemsize) // 128) * 128
     target = max(1, min(4096, vmem_lanes) // width)
     for cand in range(min(target, height), 0, -1):
         if height % cand == 0:

@@ -42,3 +42,25 @@ def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     return jax.image.resize(
         x.astype(jnp.float32), shape, method="bilinear", antialias=False
     ).astype(x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32)
+
+
+def upsample_concat(skip: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """concat_channels([skip, upsample_nearest_2x(x)]) — the pooled
+    U-Net's up-path junction (cyclegan/unet.py:109-113) — fused into one
+    Pallas kernel under the NHCW layout when shapes align, removing the
+    materialized upsampled tensor (write + re-read of [B,2h,C2,2w])."""
+    if layout.is_nhcw():
+        from cyclegan_tpu.ops import pallas_concat
+
+        if (
+            pallas_concat.is_enabled()
+            and skip.dtype == jnp.bfloat16
+            and x.dtype == jnp.bfloat16
+            and skip.ndim == 4
+            and skip.shape[1] == 2 * x.shape[1]
+            and skip.shape[3] == 2 * x.shape[3]
+            and pallas_concat.up_profitable(x.shape[1], x.shape[3],
+                                            skip.shape[2], x.shape[2])
+        ):
+            return pallas_concat.concat_up2_nhcw(skip, x)
+    return layout.concat_channels([skip, upsample_nearest_2x(x)])

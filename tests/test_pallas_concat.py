@@ -79,3 +79,53 @@ def test_profitable_gate():
     assert not pallas_concat.profitable(8, 100, 16, 32)  # W not lane-aligned
     assert not pallas_concat.profitable(8, 128, 8, 32)   # C1 sub-tile
     assert not pallas_concat.profitable(8, 128, 16, 24)  # C2 sub-tile
+
+
+@pytest.mark.parametrize("c1,c2,h,w", [(16, 32, 4, 128), (32, 64, 4, 64),
+                                       (64, 16, 2, 128)])
+def test_concat_up2_matches_compose(c1, c2, h, w):
+    """Fused upsample+concat == concat(skip, upsample2x(x)), fwd and bwd."""
+    skip = _rand((2, 2 * h, c1, 2 * w), seed=11)
+    x = _rand((2, h, c2, w), seed=12)
+    ct = _rand((2, 2 * h, c1 + c2, 2 * w), seed=13)
+
+    def compose(skip, x):
+        n, hh, c, ww = x.shape
+        up = jnp.broadcast_to(
+            x[:, :, None, :, :, None], (n, hh, 2, c, ww, 2)
+        ).reshape(n, 2 * hh, c, 2 * ww)
+        return jnp.concatenate([skip, up], axis=2)
+
+    ref, ref_vjp = jax.vjp(compose, skip, x)
+    got, got_vjp = jax.vjp(pallas_concat.concat_up2_nhcw, skip, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    ds_ref, dx_ref = ref_vjp(ct)
+    ds, dx = got_vjp(ct)
+    np.testing.assert_array_equal(np.asarray(ds), np.asarray(ds_ref))
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_upsample_concat_op_dispatch():
+    """ops.upsample_concat: fused kernel under the gate, composed
+    fallback otherwise — identical results."""
+    from cyclegan_tpu.ops import upsample_concat
+
+    skip = _rand((1, 8, 16, 128), seed=14, dtype=jnp.bfloat16)
+    x = _rand((1, 4, 32, 64), seed=15, dtype=jnp.bfloat16)
+    expect = jnp.concatenate(
+        [skip,
+         jnp.broadcast_to(x[:, :, None, :, :, None], (1, 4, 2, 32, 64, 2))
+         .reshape(1, 8, 32, 128)], axis=2)
+    pallas_concat.enable(True)
+    try:
+        with layout.nhcw():
+            fused = upsample_concat(skip, x)
+    finally:
+        pallas_concat.enable(False)
+    with layout.nhcw():
+        fallback = upsample_concat(skip, x)
+    np.testing.assert_array_equal(np.asarray(fused, np.float32),
+                                  np.asarray(expect, np.float32))
+    np.testing.assert_array_equal(np.asarray(fallback, np.float32),
+                                  np.asarray(expect, np.float32))
