@@ -70,6 +70,14 @@ _DW_STACKED = os.environ.get("PALLAS_DW_FORM", "stacked") == "stacked"
 # 3->16 k4 fwd 155us vs 159us (only win), 48->16 k7 fwd 1320us vs
 # 1025us. Kept for A/B benching.
 _FWD_STACKED = os.environ.get("PALLAS_FWD_FORM", "perdy") == "stacked"
+# Weight operand orientation for the forward/dX matmuls. "rowmajor"
+# passes W2 [Cout, KKC] (lane-dense depth; needs an XLA-side transpose
+# per conv per step — ~2.2 ms/step of small-tensor relayouts, trace
+# source _repack). "depthmajor" passes [KKC, Cout] — a free reshape of
+# HWIO — and contracts dim 0 of both operands; whether Mosaic lowers
+# that natively or inserts a hidden transpose per grid step is what the
+# A/B measures (scripts/bench_pallas_conv.py --only N with env set).
+_W_DEPTH_MAJOR = os.environ.get("PALLAS_W_FORM", "rowmajor") == "depthmajor"
 # VMEM budget for the dx-shifted slab scratch. Larger budgets allow more
 # rows R per grid step, amortizing the (R+K-1)/R halo re-read/re-shift
 # overhead — the kernel's measured bottleneck (see the stacked-forward
@@ -183,12 +191,20 @@ def _conv_kernel(*refs, K, C, Cout, R, W, n_rows):
     acc = jnp.zeros((Cout, R * W), jnp.float32)
     KC = K * C
     for dy in range(K):
-        acc += jax.lax.dot_general(
-            w2_ref[:, dy * KC:(dy + 1) * KC],
-            shifted[:, dy * W:dy * W + R * W],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if _W_DEPTH_MAJOR:
+            acc += jax.lax.dot_general(
+                w2_ref[dy * KC:(dy + 1) * KC, :],
+                shifted[:, dy * W:dy * W + R * W],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            acc += jax.lax.dot_general(
+                w2_ref[:, dy * KC:(dy + 1) * KC],
+                shifted[:, dy * W:dy * W + R * W],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     acc = acc.astype(out_ref.dtype)
     for r in range(R):
         out_ref[0, r * Cout:(r + 1) * Cout, :] = acc[:, r * W:(r + 1) * W]
@@ -254,8 +270,14 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
             n_rows=n_rows
         )
     else:
-        w_op = w2
-        w_shape = (Cout, K * K * C)
+        if _W_DEPTH_MAJOR:
+            # A/B probe form: [KKC, Cout]. (Once proven, the XLA-side
+            # _repack transpose becomes a free reshape of HWIO.)
+            w_op = w2.T
+            w_shape = (K * K * C, Cout)
+        else:
+            w_op = w2
+            w_shape = (Cout, K * K * C)
         kernel = functools.partial(
             _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows
         )
