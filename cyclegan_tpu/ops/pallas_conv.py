@@ -73,10 +73,13 @@ _FWD_STACKED = os.environ.get("PALLAS_FWD_FORM", "perdy") == "stacked"
 # Weight operand orientation for the forward/dX matmuls. "rowmajor"
 # passes W2 [Cout, KKC] (lane-dense depth; needs an XLA-side transpose
 # per conv per step — ~2.2 ms/step of small-tensor relayouts, trace
-# source _repack). "depthmajor" passes [KKC, Cout] — a free reshape of
-# HWIO — and contracts dim 0 of both operands; whether Mosaic lowers
-# that natively or inserts a hidden transpose per grid step is what the
-# A/B measures (scripts/bench_pallas_conv.py --only N with env set).
+# source _repack). "depthmajor" passes [KKC, Cout] built as a pure
+# pad+reshape of HWIO (`_repack_depth` — no transpose in the XLA graph
+# at all for the forward) and contracts dim 0 of both operands; whether
+# Mosaic lowers that natively or inserts a hidden transpose per grid
+# step is what the A/B measures (scripts/bench_pallas_conv.py --only N
+# with env set). Ignored when PALLAS_FWD_FORM=stacked (that form's
+# row-stacking needs the rowmajor operand).
 _W_DEPTH_MAJOR = os.environ.get("PALLAS_W_FORM", "rowmajor") == "depthmajor"
 # VMEM budget for the dx-shifted slab scratch. Larger budgets allow more
 # rows R per grid step, amortizing the (R+K-1)/R halo re-read/re-shift
@@ -244,9 +247,11 @@ def _conv_kernel_stacked(*refs, K, C, Cout, R, W, n_rows):
 def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
                       W: int) -> jnp.ndarray:
     """xp: [B, Hp, C, W_lane] spatially padded NHCW (Hp = H + K - 1,
-    W_lane >= W + K - 1). w2: [Cout, K*K*C]. Returns [B, H, Cout, W]."""
+    W_lane >= W + K - 1). w2: [Cout, K*K*C] rowmajor, or [K*K*C, Cout]
+    when the depthmajor form is active. Returns [B, H, Cout, W]."""
     B, Hp, C, W_lane = xp.shape
-    Cout = w2.shape[0]
+    depth_major = _W_DEPTH_MAJOR and not _FWD_STACKED
+    Cout = w2.shape[1] if depth_major else w2.shape[0]
     extra = K * Cout * W * 4 if _FWD_STACKED else 0
     R = _choose_rows(H, W, K, C, xp.dtype.itemsize, extra)
     n_rows = R + K - 1
@@ -270,14 +275,10 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
             n_rows=n_rows
         )
     else:
-        if _W_DEPTH_MAJOR:
-            # A/B probe form: [KKC, Cout]. (Once proven, the XLA-side
-            # _repack transpose becomes a free reshape of HWIO.)
-            w_op = w2.T
-            w_shape = (K * K * C, Cout)
-        else:
-            w_op = w2
-            w_shape = (Cout, K * K * C)
+        # Depthmajor operands arrive pre-built as [KKC, Cout]
+        # (`_repack_depth` — no XLA transpose); rowmajor as [Cout, KKC].
+        w_op = w2
+        w_shape = (K * K * C, Cout) if depth_major else (Cout, K * K * C)
         kernel = functools.partial(
             _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows
         )
@@ -496,6 +497,29 @@ def _repack(w_hwio: jnp.ndarray, C_pad: int, flip: bool,
     return jnp.transpose(w, (3, 0, 1, 2)).reshape(Cout, K * K * C_pad)
 
 
+def _repack_depth(w_hwio: jnp.ndarray, C_pad: int, flip: bool,
+                  swap: bool) -> jnp.ndarray:
+    """HWIO -> [K*K*C_pad, Cout], same patch order as `_repack` along
+    dim 0. For the forward (flip=swap=False) this is a pure pad+reshape
+    — HWIO is already (dy, dx, ci)-major in memory — so the per-step
+    XLA relayout the rowmajor form pays disappears entirely."""
+    if flip:
+        w_hwio = w_hwio[::-1, ::-1]
+    if swap:
+        w_hwio = jnp.swapaxes(w_hwio, 2, 3)
+    K, _, Cin, Cout = w_hwio.shape
+    w = jnp.pad(w_hwio, ((0, 0), (0, 0), (0, C_pad - Cin), (0, 0)))
+    return w.reshape(K * K * C_pad, Cout)
+
+
+def _repack_fwd(w_hwio: jnp.ndarray, C_pad: int, flip: bool,
+                swap: bool) -> jnp.ndarray:
+    """Forward/dX weight operand in the active orientation."""
+    if _W_DEPTH_MAJOR and not _FWD_STACKED:
+        return _repack_depth(w_hwio, C_pad, flip, swap)
+    return _repack(w_hwio, C_pad, flip, swap)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def conv2d_same_nhcw(x: jnp.ndarray, w_hwio: jnp.ndarray) -> jnp.ndarray:
     """Stride-1 TF-'SAME' conv. x: [B, H, C, W] NHCW; w: [K, K, C, Cout]
@@ -512,7 +536,7 @@ def _conv_fwd_impl(x, w_hwio):
     xi = x if C == C_pad else jnp.pad(x, ((0, 0), (0, 0), (0, C_pad - C),
                                           (0, 0)))
     xp = _pad_nhcw(xi, K, pt, pt)
-    w2 = _repack(w_hwio.astype(x.dtype), C_pad, flip=False, swap=False)
+    w2 = _repack_fwd(w_hwio.astype(x.dtype), C_pad, flip=False, swap=False)
     return _conv_nhcw_padded(xp, w2, K, H, W)
 
 
@@ -530,10 +554,15 @@ def _conv_bwd_rule(res, g):
 
     # dX: conv of dY with flipped, ci<->co-swapped kernel; transposed
     # padding (K-1-pt before). Result has Cin_pad channels; slice to C.
-    w_t = _repack(w_hwio.astype(g.dtype), _round_up(Cout, 16), flip=True,
-                  swap=True)  # [Cin, K*K*Cout_pad] -- need Cin padded rows
+    # Rowmajor orientation is [Cin, K*K*Cout_pad] (pad Cin rows);
+    # depthmajor is [K*K*Cout_pad, Cin] (pad Cin lanes).
+    w_t = _repack_fwd(w_hwio.astype(g.dtype), _round_up(Cout, 16),
+                      flip=True, swap=True)
     if C != Cin_pad:
-        w_t = jnp.pad(w_t, ((0, Cin_pad - C), (0, 0)))
+        cin_axis_pad = ((0, 0), (0, Cin_pad - C)) \
+            if (_W_DEPTH_MAJOR and not _FWD_STACKED) \
+            else ((0, Cin_pad - C), (0, 0))
+        w_t = jnp.pad(w_t, cin_axis_pad)
     gi = (g if Cout % 16 == 0
           else jnp.pad(g, ((0, 0), (0, 0), (0, _round_up(Cout, 16) - Cout),
                            (0, 0))))

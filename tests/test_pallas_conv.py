@@ -113,6 +113,36 @@ def test_bias_and_bf16_path():
     )
 
 
+@pytest.mark.parametrize("h,w,cin,cout,k", [
+    (4, 128, 3, 16, 4),
+    (4, 128, 16, 16, 4),
+    (2, 128, 16, 32, 5),
+    (2, 128, 48, 16, 7),
+])
+def test_depthmajor_form_matches_rowmajor(h, w, cin, cout, k,
+                                          monkeypatch):
+    """PALLAS_W_FORM=depthmajor: weight operand is a pad+reshape of HWIO
+    ([KKC, Cout], dim-0 contraction) — forward/dX/dW must match the
+    default rowmajor form exactly (same accumulation order)."""
+    x = _rand((2, h, w, cin), seed=21)
+    wt = _rand((k, k, cin, cout), seed=22) * 0.1
+    ct = _rand((2, h, w, cout), seed=23)
+
+    ref_out, ref_vjp = jax.vjp(pallas_conv.conv2d_nhwc_fused, x, wt)
+    ref_dx, ref_dw = ref_vjp(ct)
+
+    monkeypatch.setattr(pallas_conv, "_W_DEPTH_MAJOR", True)
+    got_out, got_vjp = jax.vjp(pallas_conv.conv2d_nhwc_fused, x, wt)
+    got_dx, got_dw = got_vjp(ct)
+
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(ref_dw),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_profitable_gates():
     # W not a lane multiple / too-narrow contraction / wide cout: all out
     assert not pallas_conv.profitable(64, 64, 32, 64, 4)   # W=64
