@@ -87,6 +87,17 @@ _W_DEPTH_MAJOR = os.environ.get("PALLAS_W_FORM", "rowmajor") == "depthmajor"
 # negative result in BASELINE.md). v5e has >= 64 MB of VMEM; the
 # original 3.5 MB cap predates the vmem_limit_bytes compiler param.
 _VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(3_500_000)))
+# SAME-padding site. "xla" (legacy): every conv call materializes a
+# spatially padded copy of its input (jnp.pad to [Hp, C_pad, W_lane],
+# W_lane lane-rounded to 384 for W=256 / 256 for W=128) — 3 full-tensor
+# pads per conv per step (fwd x, dX g, dW x again) plus 33-50% wasted
+# row DMA on the pad lanes (trace: ~13 ms/step of pad/copy boundary
+# ops). "kernel": the pallas_call reads the UNPADDED activation and the
+# slab fill synthesizes the padding with static slice bounds (edge
+# lanes / out-of-range rows are zeroed once at grid step 0 and never
+# written again) — no XLA pad op, no pad-lane DMA, and channel padding
+# (C -> 16-sublane tile) comes free the same way.
+_KERNEL_PAD = os.environ.get("PALLAS_PAD", "xla") == "kernel"
 
 
 def enable(on: bool = True) -> None:
@@ -167,30 +178,85 @@ def _choose_rows(height: int, width: int, k: int, c: int,
     return 1
 
 
-def _fill_shifted(rows, shifted, K, C, W, n_rows):
-    """Build the dx-shifted slab: shifted[dx*C+c, j*W+w] = rows[j][c, dx+w].
+def _fill_shifted(rows, shifted, K, C, W, n_rows, *, W_in=None,
+                  C_src=None, pleft=0, ptop=0, R=None, H_img=None):
+    """Build the dx-shifted slab: shifted[dx*C+c, j*W+w] = x[c, dx+w-pleft]
+    for the image row behind slab row j (zero outside the image).
 
     This factors the im2col redundancy out: the full patch matrix
     duplicates each input row K times (once per dy), but for a fixed dy
     the [K*C, R*W] contraction operand is a PURE lane-slice
     ``shifted[:, dy*W : dy*W + R*W]`` of this slab — so the copy volume
     is K*(R+K-1) row blocks instead of K^2*R (4-7x less for k5/k7,
-    where VMEM copies were ~40% of kernel time)."""
+    where VMEM copies were ~40% of kernel time).
+
+    Two modes, chosen statically:
+    - pre-padded (pleft=ptop=0, W_in=W_lane, C_src=C): rows hold the
+      XLA-padded input; every copy is a full [C, W] block at lane
+      offset dx, always valid.
+    - kernel-pad (PALLAS_PAD=kernel): rows hold the UNPADDED input and
+      this fill synthesizes TF-'SAME' padding for free. Horizontal: the
+      copy for dx narrows to the statically-known valid lane range
+      (shift = dx - pleft; src [s0, s1) -> dest [s0-shift, s1-shift));
+      the edge lanes it skips are zeroed ONCE at grid step (0, 0) (the
+      slab is persistent scratch and no copy ever writes them again).
+      Vertical: slab row j holds image row i*R + j - ptop; the j's that
+      can fall outside [0, H) (statically j < ptop or j >= R + ptop)
+      copy under @pl.when and zero their block when out of range.
+      Channel pad (C_src < C) rides the same step-(0,0) zero.
+    """
+    # Row refs carry their static [1, C_src, W_in] block shape; deriving
+    # here keeps the pre-padded callers' fill_kw empty (W_in = W_lane).
+    W_in = rows[0].shape[2] if W_in is None else W_in
+    C_src = rows[0].shape[1] if C_src is None else C_src
+    kernel_pad = H_img is not None
+    if kernel_pad:
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(b == 0, i == 0))
+        def _():
+            shifted[:, :] = jnp.zeros_like(shifted)
+
     for j in range(n_rows):
         src = rows[j]
-        for dx in range(K):
-            shifted[dx * C:(dx + 1) * C, j * W:(j + 1) * W] = \
-                src[0, :, dx:dx + W]
+
+        def copy_blocks(j=j, src=src):
+            for dx in range(K):
+                shift = dx - pleft
+                s0 = max(0, shift)
+                s1 = min(W_in, W + shift)
+                shifted[dx * C:dx * C + C_src,
+                        j * W + s0 - shift:j * W + s1 - shift] = \
+                    src[0, :C_src, s0:s1]
+
+        may_hang_top = j < ptop
+        may_hang_bot = kernel_pad and j >= R + ptop
+        if kernel_pad and (may_hang_top or may_hang_bot):
+            row = pl.program_id(1) * R + j
+            valid = jnp.logical_and(row >= ptop, row < H_img + ptop)
+
+            @pl.when(valid)
+            def _():
+                copy_blocks()
+
+            @pl.when(jnp.logical_not(valid))
+            def _():
+                for dx in range(K):
+                    shifted[dx * C:(dx + 1) * C, j * W:(j + 1) * W] = (
+                        jnp.zeros((C, W), shifted.dtype))
+        else:
+            copy_blocks()
 
 
-def _conv_kernel(*refs, K, C, Cout, R, W, n_rows):
+def _conv_kernel(*refs, K, C, Cout, R, W, n_rows, fill_kw):
     """refs = row_0..row_{n_rows-1}, w2_ref, out_ref, shifted scratch.
 
     y rows = sum over dy of W2[:, dy-block] @ shifted[:, dy-lane-slice];
     K matmuls of depth K*C (same total MXU passes as the single
     K*K*C-deep matmul, ceil(KKC/128) for the recipe's shapes)."""
     rows, (w2_ref, out_ref, shifted) = refs[:n_rows], refs[n_rows:]
-    _fill_shifted(rows, shifted, K, C, W, n_rows)
+    _fill_shifted(rows, shifted, K, C, W, n_rows, **fill_kw)
     acc = jnp.zeros((Cout, R * W), jnp.float32)
     KC = K * C
     for dy in range(K):
@@ -213,7 +279,7 @@ def _conv_kernel(*refs, K, C, Cout, R, W, n_rows):
         out_ref[0, r * Cout:(r + 1) * Cout, :] = acc[:, r * W:(r + 1) * W]
 
 
-def _conv_kernel_stacked(*refs, K, C, Cout, R, W, n_rows):
+def _conv_kernel_stacked(*refs, K, C, Cout, R, W, n_rows, fill_kw):
     """Stacked-M forward: ONE matmul with M = K*Cout output rows.
 
     The per-dy form's K matmuls each run the MXU at Cout/128 row
@@ -229,7 +295,7 @@ def _conv_kernel_stacked(*refs, K, C, Cout, R, W, n_rows):
     VPU shift-add over row blocks. M grows K-fold for an (R+K-1)/R lane
     inflation of the matmul."""
     rows, (w2s_ref, out_ref, shifted) = refs[:n_rows], refs[n_rows:]
-    _fill_shifted(rows, shifted, K, C, W, n_rows)
+    _fill_shifted(rows, shifted, K, C, W, n_rows, **fill_kw)
     p = jax.lax.dot_general(
         w2s_ref[:, :],
         shifted[:, :],
@@ -245,11 +311,18 @@ def _conv_kernel_stacked(*refs, K, C, Cout, R, W, n_rows):
 
 
 def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
-                      W: int) -> jnp.ndarray:
-    """xp: [B, Hp, C, W_lane] spatially padded NHCW (Hp = H + K - 1,
-    W_lane >= W + K - 1). w2: [Cout, K*K*C] rowmajor, or [K*K*C, Cout]
-    when the depthmajor form is active. Returns [B, H, Cout, W]."""
-    B, Hp, C, W_lane = xp.shape
+                      W: int, ptop: int = 0, pleft: int = 0,
+                      C_slab: int = 0) -> jnp.ndarray:
+    """Pre-padded mode (ptop=pleft=0): xp is [B, Hp, C, W_lane] spatially
+    padded NHCW (Hp = H + K - 1, W_lane >= W + K - 1). Kernel-pad mode
+    (PALLAS_PAD=kernel; ptop/pleft are the TF-'SAME' before-pads): xp is
+    the UNPADDED [B, H, C_src, W] activation and C_slab the sublane-tile
+    channel count — padding is synthesized by the slab fill. w2:
+    [Cout, K*K*C] rowmajor, or [K*K*C, Cout] when the depthmajor form is
+    active. Returns [B, H, Cout, W]."""
+    B, H_in, C_src, W_in = xp.shape
+    C = C_slab or C_src
+    kernel_pad = bool(C_slab)
     depth_major = _W_DEPTH_MAJOR and not _FWD_STACKED
     Cout = w2.shape[1] if depth_major else w2.shape[0]
     extra = K * Cout * W * 4 if _FWD_STACKED else 0
@@ -257,11 +330,20 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
     n_rows = R + K - 1
     grid = (B, H // R)
 
-    xp_rows = xp.reshape(B, Hp * C, W_lane)
+    xp_rows = xp.reshape(B, H_in * C_src, W_in)
+    fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
+                    R=R, H_img=H_in) if kernel_pad else {})
 
     def row_spec(j):
+        if kernel_pad:
+            return pl.BlockSpec(
+                (1, C_src, W_in),
+                lambda b, i, j=j: (b, jnp.clip(i * R + j - ptop, 0,
+                                               H_in - 1), 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
-            (1, C, W_lane),
+            (1, C_src, W_in),
             lambda b, i, j=j: (b, i * R + j, 0),
             memory_space=pltpu.VMEM,
         )
@@ -272,7 +354,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
         w_shape = (K * Cout, KC)
         kernel = functools.partial(
             _conv_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=W,
-            n_rows=n_rows
+            n_rows=n_rows, fill_kw=fill_kw
         )
     else:
         # Depthmajor operands arrive pre-built as [KKC, Cout]
@@ -280,7 +362,8 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
         w_op = w2
         w_shape = (K * K * C, Cout) if depth_major else (Cout, K * K * C)
         kernel = functools.partial(
-            _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows
+            _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows,
+            fill_kw=fill_kw
         )
     out = pl.pallas_call(
         kernel,
@@ -301,7 +384,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * K * K * C * Cout,
-            bytes_accessed=(B * Hp * C * W_lane + B * H * Cout * W)
+            bytes_accessed=(B * H_in * C_src * W_in + B * H * Cout * W)
             * xp.dtype.itemsize,
             transcendentals=0,
         ),
@@ -312,7 +395,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
     return out.reshape(B, H, Cout, W)
 
 
-def _dw_kernel_stacked(*refs, K, C, Cout, R, W, n_rows):
+def _dw_kernel_stacked(*refs, K, C, Cout, R, W, n_rows, fill_kw):
     """Stacked-M dW: one deep matmul instead of K narrow ones.
 
     The per-dy formulation multiplies [Cout, R*W] x [K*C, R*W]^T — an
@@ -335,7 +418,7 @@ def _dw_kernel_stacked(*refs, K, C, Cout, R, W, n_rows):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    _fill_shifted(rows, shifted, K, C, W, n_rows)
+    _fill_shifted(rows, shifted, K, C, W, n_rows, **fill_kw)
     g_lanes = _dy_as_lanes(dy_ref, R, Cout, W)
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
@@ -366,7 +449,7 @@ def _dw_kernel_stacked(*refs, K, C, Cout, R, W, n_rows):
                 dy * Cout:(dy + 1) * Cout, :]
 
 
-def _dw_kernel(*refs, K, C, Cout, R, W, n_rows):
+def _dw_kernel(*refs, K, C, Cout, R, W, n_rows, fill_kw):
     """Accumulate dW over the grid (output [Cout, KKC]: KKC lane-dense —
     the [KKC, Cout] orientation would run the MXU at Cout/128 occupancy).
 
@@ -380,7 +463,7 @@ def _dw_kernel(*refs, K, C, Cout, R, W, n_rows):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    _fill_shifted(rows, shifted, K, C, W, n_rows)
+    _fill_shifted(rows, shifted, K, C, W, n_rows, **fill_kw)
     g_lanes = _dy_as_lanes(dy_ref, R, Cout, W)
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
@@ -412,27 +495,42 @@ def _dy_as_lanes(dy_ref, R, Cout, W):
 
 
 def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
-                    W: int, Cout: int) -> jnp.ndarray:
-    """dW accumulation. xp: [B, Hp, C, W_lane]; dy: [B, H, Cout, W].
-    Returns [Cout, K*K*C] f32 (lane-dense orientation; transposed by the
+                    W: int, Cout: int, ptop: int = 0, pleft: int = 0,
+                    C_slab: int = 0) -> jnp.ndarray:
+    """dW accumulation. Pre-padded mode: xp is [B, Hp, C, W_lane];
+    kernel-pad mode (C_slab set): xp is the unpadded [B, H, C_src, W]
+    (see `_conv_nhcw_padded`). dy: [B, H, Cout, W]. Returns
+    [Cout, K*K*C] f32 (lane-dense orientation; transposed by the
     caller)."""
-    B, Hp, C, W_lane = xp.shape
+    B, H_in, C_src, W_in = xp.shape
+    C = C_slab or C_src
+    kernel_pad = bool(C_slab)
     R = _choose_rows(H, W, K, C, xp.dtype.itemsize)
     n_rows = R + K - 1
     grid = (B, H // R)
-    xp_rows = xp.reshape(B, Hp * C, W_lane)
+    xp_rows = xp.reshape(B, H_in * C_src, W_in)
     dy_rows = dy.reshape(B, H * Cout, W)
+    fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
+                    R=R, H_img=H_in) if kernel_pad else {})
 
     def row_spec(j):
+        if kernel_pad:
+            return pl.BlockSpec(
+                (1, C_src, W_in),
+                lambda b, i, j=j: (b, jnp.clip(i * R + j - ptop, 0,
+                                               H_in - 1), 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
-            (1, C, W_lane),
+            (1, C_src, W_in),
             lambda b, i, j=j: (b, i * R + j, 0),
             memory_space=pltpu.VMEM,
         )
 
     if _DW_STACKED:
         kernel = functools.partial(
-            _dw_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows
+            _dw_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=W,
+            n_rows=n_rows, fill_kw=fill_kw
         )
         scratch = [
             pltpu.VMEM((K * C, n_rows * W), xp.dtype),
@@ -441,7 +539,8 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
         ]
     else:
         kernel = functools.partial(
-            _dw_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows
+            _dw_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows,
+            fill_kw=fill_kw
         )
         scratch = [
             pltpu.VMEM((K * C, n_rows * W), xp.dtype),
@@ -466,7 +565,7 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * K * K * C * Cout,
-            bytes_accessed=(B * Hp * C * W_lane + B * H * Cout * W)
+            bytes_accessed=(B * H_in * C_src * W_in + B * H * Cout * W)
             * xp.dtype.itemsize,
             transcendentals=0,
         ),
@@ -533,10 +632,13 @@ def _conv_fwd_impl(x, w_hwio):
     B, H, C, W = x.shape
     C_pad = _round_up(C, 16)
     pt, _ = _tf_same_pad(K)
+    w2 = _repack_fwd(w_hwio.astype(x.dtype), C_pad, flip=False, swap=False)
+    if _KERNEL_PAD:
+        return _conv_nhcw_padded(x, w2, K, H, W, ptop=pt, pleft=pt,
+                                 C_slab=C_pad)
     xi = x if C == C_pad else jnp.pad(x, ((0, 0), (0, 0), (0, C_pad - C),
                                           (0, 0)))
     xp = _pad_nhcw(xi, K, pt, pt)
-    w2 = _repack_fwd(w_hwio.astype(x.dtype), C_pad, flip=False, swap=False)
     return _conv_nhcw_padded(xp, w2, K, H, W)
 
 
@@ -563,6 +665,15 @@ def _conv_bwd_rule(res, g):
             if (_W_DEPTH_MAJOR and not _FWD_STACKED) \
             else ((0, Cin_pad - C), (0, 0))
         w_t = jnp.pad(w_t, cin_axis_pad)
+    if _KERNEL_PAD:
+        dx = _conv_nhcw_padded(g, w_t, K, H, W, ptop=K - 1 - pt,
+                               pleft=K - 1 - pt,
+                               C_slab=_round_up(Cout, 16))[:, :, :C, :]
+        dw_flat = _conv_dw_padded(x, g.astype(x.dtype), K, H, W, Cout,
+                                  ptop=pt, pleft=pt, C_slab=Cin_pad)
+        dw = dw_flat.T.reshape(K, K, Cin_pad, Cout)[:, :, :C, :]
+        return dx.astype(x.dtype), dw.astype(w_hwio.dtype)
+
     gi = (g if Cout % 16 == 0
           else jnp.pad(g, ((0, 0), (0, 0), (0, _round_up(Cout, 16) - Cout),
                            (0, 0))))
