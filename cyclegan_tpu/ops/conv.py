@@ -61,7 +61,7 @@ def uses_pallas(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1,
         )
     return pallas_conv.profitable(
         x.shape[1], x.shape[3], kernel.shape[2], kernel.shape[3],
-        kernel.shape[0],
+        kernel.shape[0], batch=x.shape[0],
     )
 
 

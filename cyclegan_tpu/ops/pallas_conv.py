@@ -98,6 +98,19 @@ _VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(3_500_000)))
 # written again) — no XLA pad op, no pad-lane DMA, and channel padding
 # (C -> 16-sublane tile) comes free the same way.
 _KERNEL_PAD = os.environ.get("PALLAS_PAD", "xla") == "kernel"
+# Batch-paired lane packing for W < 128 (PALLAS_WPACK=1, off pending
+# bench). The deep U-Net levels (@64^2/@32^2, cin/cout 64-128) never
+# dispatched because lane-dense rows need W % 128 == 0. Packing P =
+# 128/W images side-by-side in the lane dimension restores full lane
+# density: slab lane (j, p*W + w) holds image bp*P+p's row j. The pack
+# is FREE on both sides — input row refs carry a leading block dim of P
+# (one DMA per slab row covers all P images) and the output block
+# scatters acc's lane segments back to per-image rows in VMEM — so no
+# XLA-side relayout exists at all. Segments never share lanes, so the
+# math is exact; per-segment SAME padding rides the kernel-pad fill
+# (packed dispatch always uses the kernel-pad path regardless of
+# PALLAS_PAD).
+_WPACK = os.environ.get("PALLAS_WPACK", "0") == "1"
 
 
 def enable(on: bool = True) -> None:
@@ -118,14 +131,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pack_factor(width: int, batch: int) -> int:
+    """Images packed per 128-lane row (1 = no packing). Packing needs
+    PALLAS_WPACK, W in {32, 64}, and a batch divisible by 128/W."""
+    if (_WPACK and width in (32, 64) and batch > 0
+            and batch % (128 // width) == 0):
+        return 128 // width
+    return 1
+
+
 def profitable(height: int, width: int, cin: int, cout: int,
-               kernel: int) -> bool:
+               kernel: int, batch: int = 0) -> bool:
     """Dispatch gate.
 
-    Lane-dense rows need W a multiple of 128; C_out must be a sublane
-    multiple for the output row writes. The cin caps are empirical
-    (scripts/bench_pallas_conv.py --backward, TPU v5e, factored-im2col
-    kernel form), per kernel size against the recipe's real layer shapes:
+    Lane-dense rows need W a multiple of 128 — or, with PALLAS_WPACK, a
+    W of 64/32 packed P = 128/W images per row (`_pack_factor`). C_out
+    must be a sublane multiple for the output row writes. The cin caps
+    are empirical (scripts/bench_pallas_conv.py --backward, TPU v5e,
+    factored-im2col kernel form), per kernel size against the recipe's
+    real layer shapes:
 
     - k4: wins through cin 160 — 3..48: 1.31-4.03x, 64: 1.33x, 80: 1.04x,
       160: 1.10x (the gen up-path concat convs).
@@ -136,8 +160,20 @@ def profitable(height: int, width: int, cin: int, cout: int,
       96->64 k3, keep it there).
 
     The original cin <= 16 cap predates the factored dx-shifted-slab
-    rewrite, whose K-fold copy reduction moved every crossover.
+    rewrite, whose K-fold copy reduction moved every crossover. The
+    packed caps (cin/cout <= 128) are structural, not yet empirical —
+    tune against per-shape A/Bs once measured.
     """
+    if width % 128 != 0:
+        if _pack_factor(width, batch) == 1:
+            return False
+        return (
+            height % 2 == 0
+            and cout % 16 == 0
+            and cout <= 128
+            and cin <= (192 if kernel == 4 else 128)
+            and kernel * kernel * _round_up(cin, 16) >= 128
+        )
     if kernel >= 5:
         cin_ok = cin <= 96
     elif kernel == 4:
@@ -145,8 +181,7 @@ def profitable(height: int, width: int, cin: int, cout: int,
     else:
         cin_ok = cin <= 64
     return (
-        width % 128 == 0
-        and height % 2 == 0
+        height % 2 == 0
         and cout % 16 == 0
         and cout <= 64
         and cin_ok
@@ -179,7 +214,7 @@ def _choose_rows(height: int, width: int, k: int, c: int,
 
 
 def _fill_shifted(rows, shifted, K, C, W, n_rows, *, W_in=None,
-                  C_src=None, pleft=0, ptop=0, R=None, H_img=None):
+                  C_src=None, pleft=0, ptop=0, R=None, H_img=None, P=1):
     """Build the dx-shifted slab: shifted[dx*C+c, j*W+w] = x[c, dx+w-pleft]
     for the image row behind slab row j (zero outside the image).
 
@@ -204,6 +239,13 @@ def _fill_shifted(rows, shifted, K, C, W, n_rows, *, W_in=None,
       can fall outside [0, H) (statically j < ptop or j >= R + ptop)
       copy under @pl.when and zero their block when out of range.
       Channel pad (C_src < C) rides the same step-(0,0) zero.
+
+    With P > 1 (batch-paired lane packing, kernel-pad mode only) each
+    slab row block of W = P*W_seg lanes holds P images' copies of the
+    same image row side by side: segment p at lanes [p*W_seg, (p+1)*
+    W_seg) comes from rows[j][p] (the row refs carry a leading block
+    dim of P). Each segment gets its own edge-lane synthesis, so
+    segments never read each other's pixels.
     """
     # Row refs carry their static [1, C_src, W_in] block shape; deriving
     # here keeps the pre-padded callers' fill_kw empty (W_in = W_lane).
@@ -218,17 +260,20 @@ def _fill_shifted(rows, shifted, K, C, W, n_rows, *, W_in=None,
         def _():
             shifted[:, :] = jnp.zeros_like(shifted)
 
+    W_seg = W // P
     for j in range(n_rows):
         src = rows[j]
 
         def copy_blocks(j=j, src=src):
-            for dx in range(K):
-                shift = dx - pleft
-                s0 = max(0, shift)
-                s1 = min(W_in, W + shift)
-                shifted[dx * C:dx * C + C_src,
-                        j * W + s0 - shift:j * W + s1 - shift] = \
-                    src[0, :C_src, s0:s1]
+            for p in range(P):
+                for dx in range(K):
+                    shift = dx - pleft
+                    s0 = max(0, shift)
+                    s1 = min(W_in, W_seg + shift)
+                    base = j * W + p * W_seg
+                    shifted[dx * C:dx * C + C_src,
+                            base + s0 - shift:base + s1 - shift] = \
+                        src[p, :C_src, s0:s1]
 
         may_hang_top = j < ptop
         may_hang_bot = kernel_pad and j >= R + ptop
@@ -249,7 +294,17 @@ def _fill_shifted(rows, shifted, K, C, W, n_rows, *, W_in=None,
             copy_blocks()
 
 
-def _conv_kernel(*refs, K, C, Cout, R, W, n_rows, fill_kw):
+def _write_out_rows(out_ref, acc, R, Cout, W, P):
+    """Scatter acc [Cout, R*W] to the output block [P, R*Cout, W/P]:
+    with packing, segment p of each r-block is image p's output row."""
+    W_seg = W // P
+    for r in range(R):
+        for p in range(P):
+            out_ref[p, r * Cout:(r + 1) * Cout, :] = \
+                acc[:, r * W + p * W_seg:r * W + (p + 1) * W_seg]
+
+
+def _conv_kernel(*refs, K, C, Cout, R, W, P, n_rows, fill_kw):
     """refs = row_0..row_{n_rows-1}, w2_ref, out_ref, shifted scratch.
 
     y rows = sum over dy of W2[:, dy-block] @ shifted[:, dy-lane-slice];
@@ -274,12 +329,10 @@ def _conv_kernel(*refs, K, C, Cout, R, W, n_rows, fill_kw):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    acc = acc.astype(out_ref.dtype)
-    for r in range(R):
-        out_ref[0, r * Cout:(r + 1) * Cout, :] = acc[:, r * W:(r + 1) * W]
+    _write_out_rows(out_ref, acc.astype(out_ref.dtype), R, Cout, W, P)
 
 
-def _conv_kernel_stacked(*refs, K, C, Cout, R, W, n_rows, fill_kw):
+def _conv_kernel_stacked(*refs, K, C, Cout, R, W, P, n_rows, fill_kw):
     """Stacked-M forward: ONE matmul with M = K*Cout output rows.
 
     The per-dy form's K matmuls each run the MXU at Cout/128 row
@@ -305,39 +358,41 @@ def _conv_kernel_stacked(*refs, K, C, Cout, R, W, n_rows, fill_kw):
     acc = p[:Cout, : R * W]
     for dy in range(1, K):
         acc = acc + p[dy * Cout:(dy + 1) * Cout, dy * W:dy * W + R * W]
-    acc = acc.astype(out_ref.dtype)
-    for r in range(R):
-        out_ref[0, r * Cout:(r + 1) * Cout, :] = acc[:, r * W:(r + 1) * W]
+    _write_out_rows(out_ref, acc.astype(out_ref.dtype), R, Cout, W, P)
 
 
 def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
                       W: int, ptop: int = 0, pleft: int = 0,
-                      C_slab: int = 0) -> jnp.ndarray:
+                      C_slab: int = 0, P: int = 1) -> jnp.ndarray:
     """Pre-padded mode (ptop=pleft=0): xp is [B, Hp, C, W_lane] spatially
     padded NHCW (Hp = H + K - 1, W_lane >= W + K - 1). Kernel-pad mode
     (PALLAS_PAD=kernel; ptop/pleft are the TF-'SAME' before-pads): xp is
     the UNPADDED [B, H, C_src, W] activation and C_slab the sublane-tile
-    channel count — padding is synthesized by the slab fill. w2:
+    channel count — padding is synthesized by the slab fill. With P > 1
+    (requires kernel-pad mode) each grid step processes P images packed
+    side-by-side in the lane dimension (see `_WPACK`). w2:
     [Cout, K*K*C] rowmajor, or [K*K*C, Cout] when the depthmajor form is
     active. Returns [B, H, Cout, W]."""
     B, H_in, C_src, W_in = xp.shape
     C = C_slab or C_src
     kernel_pad = bool(C_slab)
+    assert P == 1 or kernel_pad, "packing requires the kernel-pad fill"
+    Wk = P * W  # lanes per slab row block
     depth_major = _W_DEPTH_MAJOR and not _FWD_STACKED
     Cout = w2.shape[1] if depth_major else w2.shape[0]
-    extra = K * Cout * W * 4 if _FWD_STACKED else 0
-    R = _choose_rows(H, W, K, C, xp.dtype.itemsize, extra)
+    extra = K * Cout * Wk * 4 if _FWD_STACKED else 0
+    R = _choose_rows(H, Wk, K, C, xp.dtype.itemsize, extra)
     n_rows = R + K - 1
-    grid = (B, H // R)
+    grid = (B // P, H // R)
 
     xp_rows = xp.reshape(B, H_in * C_src, W_in)
     fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
-                    R=R, H_img=H_in) if kernel_pad else {})
+                    R=R, H_img=H_in, P=P) if kernel_pad else {})
 
     def row_spec(j):
         if kernel_pad:
             return pl.BlockSpec(
-                (1, C_src, W_in),
+                (P, C_src, W_in),
                 lambda b, i, j=j: (b, jnp.clip(i * R + j - ptop, 0,
                                                H_in - 1), 0),
                 memory_space=pltpu.VMEM,
@@ -353,7 +408,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
         w_op = w2.reshape(Cout, K, KC).swapaxes(0, 1).reshape(K * Cout, KC)
         w_shape = (K * Cout, KC)
         kernel = functools.partial(
-            _conv_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=W,
+            _conv_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=Wk, P=P,
             n_rows=n_rows, fill_kw=fill_kw
         )
     else:
@@ -362,8 +417,8 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
         w_op = w2
         w_shape = (K * K * C, Cout) if depth_major else (Cout, K * K * C)
         kernel = functools.partial(
-            _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows,
-            fill_kw=fill_kw
+            _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=Wk, P=P,
+            n_rows=n_rows, fill_kw=fill_kw
         )
     out = pl.pallas_call(
         kernel,
@@ -376,11 +431,11 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, R * Cout, W), lambda b, i: (b, i, 0),
+            (P, R * Cout, W), lambda b, i: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, (H // R) * R * Cout, W), xp.dtype),
-        scratch_shapes=[pltpu.VMEM((K * C, n_rows * W), xp.dtype)],
+        scratch_shapes=[pltpu.VMEM((K * C, n_rows * Wk), xp.dtype)],
         interpret=_INTERPRET,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * K * K * C * Cout,
@@ -395,7 +450,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
     return out.reshape(B, H, Cout, W)
 
 
-def _dw_kernel_stacked(*refs, K, C, Cout, R, W, n_rows, fill_kw):
+def _dw_kernel_stacked(*refs, K, C, Cout, R, W, P, n_rows, fill_kw):
     """Stacked-M dW: one deep matmul instead of K narrow ones.
 
     The per-dy formulation multiplies [Cout, R*W] x [K*C, R*W]^T — an
@@ -419,7 +474,7 @@ def _dw_kernel_stacked(*refs, K, C, Cout, R, W, n_rows, fill_kw):
     i = pl.program_id(1)
 
     _fill_shifted(rows, shifted, K, C, W, n_rows, **fill_kw)
-    g_lanes = _dy_as_lanes(dy_ref, R, Cout, W)
+    g_lanes = _dy_as_lanes(dy_ref, R, Cout, W, P)
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _():
@@ -449,7 +504,7 @@ def _dw_kernel_stacked(*refs, K, C, Cout, R, W, n_rows, fill_kw):
                 dy * Cout:(dy + 1) * Cout, :]
 
 
-def _dw_kernel(*refs, K, C, Cout, R, W, n_rows, fill_kw):
+def _dw_kernel(*refs, K, C, Cout, R, W, P, n_rows, fill_kw):
     """Accumulate dW over the grid (output [Cout, KKC]: KKC lane-dense —
     the [KKC, Cout] orientation would run the MXU at Cout/128 occupancy).
 
@@ -464,7 +519,7 @@ def _dw_kernel(*refs, K, C, Cout, R, W, n_rows, fill_kw):
     i = pl.program_id(1)
 
     _fill_shifted(rows, shifted, K, C, W, n_rows, **fill_kw)
-    g_lanes = _dy_as_lanes(dy_ref, R, Cout, W)
+    g_lanes = _dy_as_lanes(dy_ref, R, Cout, W, P)
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _():
@@ -488,35 +543,39 @@ def _dw_kernel(*refs, K, C, Cout, R, W, n_rows, fill_kw):
         dw_ref[:, :] = acc[:, :]
 
 
-def _dy_as_lanes(dy_ref, R, Cout, W):
-    """[1, R*Cout, W] block -> [Cout, R*W] matching patches' lane layout."""
-    parts = [dy_ref[0, r * Cout:(r + 1) * Cout, :] for r in range(R)]
+def _dy_as_lanes(dy_ref, R, Cout, W, P=1):
+    """[P, R*Cout, W/P] block -> [Cout, R*W] matching the slab's lane
+    layout (r-major, then packed segment p, then w)."""
+    parts = [dy_ref[p, r * Cout:(r + 1) * Cout, :]
+             for r in range(R) for p in range(P)]
     return jnp.concatenate(parts, axis=1)
 
 
 def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
                     W: int, Cout: int, ptop: int = 0, pleft: int = 0,
-                    C_slab: int = 0) -> jnp.ndarray:
+                    C_slab: int = 0, P: int = 1) -> jnp.ndarray:
     """dW accumulation. Pre-padded mode: xp is [B, Hp, C, W_lane];
     kernel-pad mode (C_slab set): xp is the unpadded [B, H, C_src, W]
-    (see `_conv_nhcw_padded`). dy: [B, H, Cout, W]. Returns
-    [Cout, K*K*C] f32 (lane-dense orientation; transposed by the
-    caller)."""
+    (see `_conv_nhcw_padded`; P > 1 packs P images per lane row). dy:
+    [B, H, Cout, W]. Returns [Cout, K*K*C] f32 (lane-dense orientation;
+    transposed by the caller)."""
     B, H_in, C_src, W_in = xp.shape
     C = C_slab or C_src
     kernel_pad = bool(C_slab)
-    R = _choose_rows(H, W, K, C, xp.dtype.itemsize)
+    assert P == 1 or kernel_pad, "packing requires the kernel-pad fill"
+    Wk = P * W
+    R = _choose_rows(H, Wk, K, C, xp.dtype.itemsize)
     n_rows = R + K - 1
-    grid = (B, H // R)
+    grid = (B // P, H // R)
     xp_rows = xp.reshape(B, H_in * C_src, W_in)
     dy_rows = dy.reshape(B, H * Cout, W)
     fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
-                    R=R, H_img=H_in) if kernel_pad else {})
+                    R=R, H_img=H_in, P=P) if kernel_pad else {})
 
     def row_spec(j):
         if kernel_pad:
             return pl.BlockSpec(
-                (1, C_src, W_in),
+                (P, C_src, W_in),
                 lambda b, i, j=j: (b, jnp.clip(i * R + j - ptop, 0,
                                                H_in - 1), 0),
                 memory_space=pltpu.VMEM,
@@ -529,21 +588,21 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
 
     if _DW_STACKED:
         kernel = functools.partial(
-            _dw_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=W,
+            _dw_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=Wk, P=P,
             n_rows=n_rows, fill_kw=fill_kw
         )
         scratch = [
-            pltpu.VMEM((K * C, n_rows * W), xp.dtype),
-            pltpu.VMEM((K * Cout, n_rows * W), xp.dtype),
+            pltpu.VMEM((K * C, n_rows * Wk), xp.dtype),
+            pltpu.VMEM((K * Cout, n_rows * Wk), xp.dtype),
             pltpu.VMEM((K * Cout, K * C), jnp.float32),
         ]
     else:
         kernel = functools.partial(
-            _dw_kernel, K=K, C=C, Cout=Cout, R=R, W=W, n_rows=n_rows,
-            fill_kw=fill_kw
+            _dw_kernel, K=K, C=C, Cout=Cout, R=R, W=Wk, P=P,
+            n_rows=n_rows, fill_kw=fill_kw
         )
         scratch = [
-            pltpu.VMEM((K * C, n_rows * W), xp.dtype),
+            pltpu.VMEM((K * C, n_rows * Wk), xp.dtype),
             pltpu.VMEM((Cout, K * K * C), jnp.float32),
         ]
     return pl.pallas_call(
@@ -552,7 +611,7 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
         in_specs=[row_spec(j) for j in range(n_rows)]
         + [
             pl.BlockSpec(
-                (1, R * Cout, W), lambda b, i: (b, i, 0),
+                (P, R * Cout, W), lambda b, i: (b, i, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
@@ -633,9 +692,10 @@ def _conv_fwd_impl(x, w_hwio):
     C_pad = _round_up(C, 16)
     pt, _ = _tf_same_pad(K)
     w2 = _repack_fwd(w_hwio.astype(x.dtype), C_pad, flip=False, swap=False)
-    if _KERNEL_PAD:
+    P = _pack_factor(W, B)
+    if _KERNEL_PAD or P > 1:
         return _conv_nhcw_padded(x, w2, K, H, W, ptop=pt, pleft=pt,
-                                 C_slab=C_pad)
+                                 C_slab=C_pad, P=P)
     xi = x if C == C_pad else jnp.pad(x, ((0, 0), (0, 0), (0, C_pad - C),
                                           (0, 0)))
     xp = _pad_nhcw(xi, K, pt, pt)
@@ -665,12 +725,14 @@ def _conv_bwd_rule(res, g):
             if (_W_DEPTH_MAJOR and not _FWD_STACKED) \
             else ((0, Cin_pad - C), (0, 0))
         w_t = jnp.pad(w_t, cin_axis_pad)
-    if _KERNEL_PAD:
+    P = _pack_factor(W, B)
+    if _KERNEL_PAD or P > 1:
         dx = _conv_nhcw_padded(g, w_t, K, H, W, ptop=K - 1 - pt,
                                pleft=K - 1 - pt,
-                               C_slab=_round_up(Cout, 16))[:, :, :C, :]
+                               C_slab=_round_up(Cout, 16),
+                               P=P)[:, :, :C, :]
         dw_flat = _conv_dw_padded(x, g.astype(x.dtype), K, H, W, Cout,
-                                  ptop=pt, pleft=pt, C_slab=Cin_pad)
+                                  ptop=pt, pleft=pt, C_slab=Cin_pad, P=P)
         dw = dw_flat.T.reshape(K, K, Cin_pad, Cout)[:, :, :C, :]
         return dx.astype(x.dtype), dw.astype(w_hwio.dtype)
 

@@ -34,6 +34,7 @@ MATRIX = {
     "PALLAS_W_FORM": ["rowmajor", "depthmajor"],
     "PALLAS_VMEM_CAP": ["3500000", "8000000", "16000000"],
     "PALLAS_PAD": ["xla", "kernel"],
+    "PALLAS_WPACK": ["0", "1"],
 }
 
 

@@ -48,6 +48,15 @@ SHAPES = [
     (8, 256, 256, 32, 32, 5),
     (8, 256, 256, 80, 32, 4),
     (8, 256, 256, 80, 32, 5),
+    # @64^2 / @32^2 levels — dispatch only with PALLAS_WPACK=1
+    # (batch-paired lane packing; indices 22-28 for --only)
+    (8, 64, 64, 32, 64, 4),     # gen down conv1 @64
+    (8, 64, 64, 64, 64, 4),     # gen down conv2 / up conv2 @64
+    (8, 32, 32, 64, 128, 4),    # gen bottleneck conv1
+    (8, 32, 32, 128, 128, 4),   # gen bottleneck conv2
+    (8, 64, 64, 32, 64, 3),     # disc down conv1 @64
+    (8, 64, 64, 64, 64, 3),     # disc down conv2 @64
+    (8, 64, 64, 192, 64, 4),    # gen up concat conv @64
 ]
 
 

@@ -175,6 +175,75 @@ def test_kernel_pad_matches_xla(h, w, cin, cout, k, monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("b,h,w,cin,cout,k", [
+    (2, 4, 64, 64, 64, 3),    # @64^2 level, P=2
+    (4, 4, 64, 48, 64, 4),    # P=2 with batch > P and channel pad 48->64
+    (2, 4, 64, 64, 128, 3),   # cout 128: full MXU row occupancy
+    (4, 4, 32, 128, 128, 3),  # @32^2 level, P=4
+    (8, 2, 32, 96, 64, 4),    # P=4, batch 8, asymmetric SAME
+])
+def test_wpack_matches_xla(b, h, w, cin, cout, k, monkeypatch):
+    """PALLAS_WPACK: P = 128/W images packed per lane row; forward/dX/dW
+    must match the XLA reference conv (segments must not leak pixels
+    across pack boundaries — the per-segment SAME synthesis)."""
+    monkeypatch.setattr(pallas_conv, "_WPACK", True)
+    x = _rand((b, h, w, cin), seed=41)
+    wt = _rand((k, k, cin, cout), seed=42) * 0.1
+    ct = _rand((b, h, w, cout), seed=43)
+
+    assert pallas_conv.profitable(h, w, cin, cout, k, batch=b)
+    ref_out, ref_vjp = jax.vjp(lambda x, w: conv2d(x, w, stride=1), x, wt)
+    ref_dx, ref_dw = ref_vjp(ct)
+    got_out, got_vjp = jax.vjp(pallas_conv.conv2d_nhwc_fused, x, wt)
+    got_dx, got_dw = got_vjp(ct)
+
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(ref_dw),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_wpack_multi_row_grid(monkeypatch):
+    """Packed variant with several grid rows per image (R < H) and the
+    per-dy dW form: out-of-range row predicates and packed g_lanes must
+    agree across forms."""
+    monkeypatch.setattr(pallas_conv, "_WPACK", True)
+    monkeypatch.setattr(pallas_conv, "_VMEM_CAP", 320_000)
+    monkeypatch.setattr(pallas_conv, "_DW_STACKED", False)
+    x = _rand((2, 16, 64, 64), seed=44)
+    wt = _rand((5, 5, 64, 32), seed=45) * 0.1
+    ct = _rand((2, 16, 64, 32), seed=46)
+    ref_out, ref_vjp = jax.vjp(lambda x, w: conv2d(x, w, stride=1), x, wt)
+    ref_dx, ref_dw = ref_vjp(ct)
+    got_out, got_vjp = jax.vjp(pallas_conv.conv2d_nhwc_fused, x, wt)
+    got_dx, got_dw = got_vjp(ct)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(ref_dw),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_wpack_gate():
+    """Packing never dispatches with the knob off, an indivisible batch,
+    or out-of-cap channels."""
+    assert not pallas_conv.profitable(64, 64, 64, 64, 3, batch=2)  # knob off
+    try:
+        pallas_conv._WPACK = True
+        assert pallas_conv.profitable(64, 64, 64, 64, 3, batch=2)
+        assert not pallas_conv.profitable(64, 64, 64, 64, 3, batch=3)
+        assert not pallas_conv.profitable(64, 64, 144, 64, 3, batch=2)
+        assert not pallas_conv.profitable(64, 64, 64, 144, 3, batch=2)
+        assert not pallas_conv.profitable(64, 64, 64, 64, 3)  # batch unknown
+        assert pallas_conv.profitable(32, 32, 128, 128, 3, batch=4)
+        assert not pallas_conv.profitable(32, 32, 128, 128, 3, batch=6)
+    finally:
+        pallas_conv._WPACK = False
+
+
 def test_kernel_pad_multi_row_grid(monkeypatch):
     """Taller input than one grid step: the out-of-range row predicates
     must fire only on the first/last steps (H=32 at W=128 gives several
