@@ -59,11 +59,23 @@ def build(tpu_layout: bool):
 
 
 def group_key(name: str) -> str:
-    """Collapse an HLO op name to an attribution bucket."""
+    """Collapse an HLO op name to an attribution bucket.
+
+    Backward-pass ops carry jax's autodiff naming wrappers
+    (``transpose_jvp___<core>``, ``jvp__<core>``) — strip them first, or
+    every backward op (including Pallas custom-calls) lands in a bogus
+    "transpose" bucket and pallas-kernel reads zero.
+    """
     n = name.lower()
-    if n.startswith(("_conv_kernel", "_dw_kernel", "_conv1x1_kernel",
-                     "_dw1x1_kernel", "_fwd_kernel", "_bwd_kernel",
-                     "_sum2x2", "_dup2x2")):
+    for pref in ("transpose_jvp___", "transpose_jvp__", "transpose_jvp_",
+                 "jvp___", "jvp__", "jvp_"):
+        if n.startswith(pref):
+            n = n[len(pref):]
+            break
+    kernel_fns = ("_conv_kernel", "_dw_kernel", "_conv1x1_kernel",
+                  "_dw1x1_kernel", "_fwd_kernel", "_bwd_kernel",
+                  "_sum2x2", "_dup2x2", "_concat_kernel", "_norm_act")
+    if any(k in n for k in kernel_fns):
         # Pallas kernels show up under their kernel-function names
         return "pallas-kernel"
     if "custom-call" in n or "pallas" in n or "tpu_custom_call" in n:
@@ -175,7 +187,15 @@ def main():
         if dur > 1e6 or name.startswith(("jit_", "pjit")):
             continue
         by_group[group_key(name)] += dur
-        by_name[name.split(".")[0]] += dur
+        # Same wrapper-stripping as group_key so backward ops don't all
+        # collapse into one "transpose_jvp___" row.
+        core = name
+        for pref in ("transpose_jvp___", "transpose_jvp__", "jvp___",
+                     "jvp__"):
+            if core.startswith(pref):
+                core = core[len(pref):] or pref
+                break
+        by_name[core.split(".")[0]] += dur
         by_source[e.get("args", {}).get("source", "?")] += dur
         total += dur
 
