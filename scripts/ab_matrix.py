@@ -61,13 +61,25 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--keys", nargs="*", default=list(MATRIX),
                         help="subset of knobs to sweep")
+    parser.add_argument("--staged", action="store_true",
+                        help="one-knob-at-a-time from the in-code defaults "
+                        "(first MATRIX value = default): one baseline run + "
+                        "one run per non-default knob value, instead of the "
+                        "full cross product")
     args, extra = parser.parse_known_args()
 
     matrix = {k: MATRIX[k] for k in args.keys}
     results = []
-    for combo in itertools.product(*matrix.values()):
-        overrides = dict(zip(matrix.keys(), combo))
-        label = " ".join(f"{k}={v}" for k, v in overrides.items())
+    if args.staged:
+        combos = [{}] + [
+            {k: v} for k, vals in matrix.items() for v in vals[1:]
+        ]
+    else:
+        combos = [dict(zip(matrix.keys(), c))
+                  for c in itertools.product(*matrix.values())]
+    for overrides in combos:
+        label = " ".join(f"{k}={v}" for k, v in overrides.items()) \
+            or "(defaults)"
         print(f"--- {label}", flush=True)
         value = run_one(overrides, extra)
         print(f"    -> {value}", flush=True)
