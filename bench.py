@@ -17,6 +17,9 @@ BASELINE.md for the derivation).
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -112,6 +115,40 @@ def _run_chain(train_step, state, real_a, real_b, steps):
     return time.perf_counter() - start, state
 
 
+def _probe_backend(attempts: int = 3, timeout_s: int = 300) -> None:
+    """Fail fast (with retries) when the device backend is unreachable.
+
+    A downed axon tunnel HANGS jax device init rather than erroring, so a
+    dead tunnel would hang the whole bench run indefinitely. Probing in a
+    bounded subprocess turns that into a retried, diagnosable failure.
+    Skip with BENCH_NO_PROBE=1 (saves the ~30 s init when iterating).
+    """
+    if os.environ.get("BENCH_NO_PROBE") == "1":
+        return
+    last = None
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "from cyclegan_tpu.utils.platform import "
+                 "honor_env_platform; honor_env_platform(); "
+                 "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if proc.returncode == 0:
+                return
+            last = proc.stderr[-500:]
+        except subprocess.TimeoutExpired:
+            last = f"device init still hung after {timeout_s}s"
+        if i + 1 < attempts:
+            time.sleep(60)
+    sys.stderr.write(
+        f"bench: device backend unreachable after {attempts} probes "
+        f"(last: {last})\n"
+    )
+    sys.exit(1)
+
+
 def main():
     parser = argparse.ArgumentParser("cyclegan_tpu benchmark")
     parser.add_argument("--batch", type=int, default=8,
@@ -152,6 +189,11 @@ def main():
                         "batch-2N application (measured +12%% on the "
                         "ResNet recipe, -2%% on the default U-Net)")
     args = parser.parse_args()
+
+    from cyclegan_tpu.utils.platform import honor_env_platform
+
+    honor_env_platform()
+    _probe_backend()
 
     if args.pallas:
         from cyclegan_tpu.ops import pallas_norm
