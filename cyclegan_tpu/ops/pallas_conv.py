@@ -164,29 +164,24 @@ def profitable(height: int, width: int, cin: int, cout: int,
     packed caps (cin/cout <= 128) are structural, not yet empirical —
     tune against per-shape A/Bs once measured.
     """
+    structural = (
+        height % 2 == 0
+        and cout % 16 == 0
+        and kernel * kernel * _round_up(cin, 16) >= 128
+    )
+    if not structural:
+        return False
     if width % 128 != 0:
         if _pack_factor(width, batch) == 1:
             return False
-        return (
-            height % 2 == 0
-            and cout % 16 == 0
-            and cout <= 128
-            and cin <= (192 if kernel == 4 else 128)
-            and kernel * kernel * _round_up(cin, 16) >= 128
-        )
+        return cout <= 128 and cin <= (192 if kernel == 4 else 128)
     if kernel >= 5:
         cin_ok = cin <= 96
     elif kernel == 4:
         cin_ok = cin <= 160
     else:
         cin_ok = cin <= 64
-    return (
-        height % 2 == 0
-        and cout % 16 == 0
-        and cout <= 64
-        and cin_ok
-        and kernel * kernel * _round_up(cin, 16) >= 128
-    )
+    return cout <= 64 and cin_ok
 
 
 def _tf_same_pad(kernel: int) -> Tuple[int, int]:
@@ -376,7 +371,8 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
     B, H_in, C_src, W_in = xp.shape
     C = C_slab or C_src
     kernel_pad = bool(C_slab)
-    assert P == 1 or kernel_pad, "packing requires the kernel-pad fill"
+    if P > 1 and not kernel_pad:
+        raise ValueError("packing requires the kernel-pad fill")
     Wk = P * W  # lanes per slab row block
     depth_major = _W_DEPTH_MAJOR and not _FWD_STACKED
     Cout = w2.shape[1] if depth_major else w2.shape[0]
@@ -474,7 +470,7 @@ def _dw_kernel_stacked(*refs, K, C, Cout, R, W, P, n_rows, fill_kw):
     i = pl.program_id(1)
 
     _fill_shifted(rows, shifted, K, C, W, n_rows, **fill_kw)
-    g_lanes = _dy_as_lanes(dy_ref, R, Cout, W, P)
+    g_lanes = _dy_as_lanes(dy_ref, R, Cout, P)
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _():
@@ -519,7 +515,7 @@ def _dw_kernel(*refs, K, C, Cout, R, W, P, n_rows, fill_kw):
     i = pl.program_id(1)
 
     _fill_shifted(rows, shifted, K, C, W, n_rows, **fill_kw)
-    g_lanes = _dy_as_lanes(dy_ref, R, Cout, W, P)
+    g_lanes = _dy_as_lanes(dy_ref, R, Cout, P)
 
     @pl.when(jnp.logical_and(b == 0, i == 0))
     def _():
@@ -543,9 +539,9 @@ def _dw_kernel(*refs, K, C, Cout, R, W, P, n_rows, fill_kw):
         dw_ref[:, :] = acc[:, :]
 
 
-def _dy_as_lanes(dy_ref, R, Cout, W, P=1):
-    """[P, R*Cout, W/P] block -> [Cout, R*W] matching the slab's lane
-    layout (r-major, then packed segment p, then w)."""
+def _dy_as_lanes(dy_ref, R, Cout, P=1):
+    """[P, R*Cout, W_seg] block -> [Cout, R*P*W_seg] matching the slab's
+    lane layout (r-major, then packed segment p, then w)."""
     parts = [dy_ref[p, r * Cout:(r + 1) * Cout, :]
              for r in range(R) for p in range(P)]
     return jnp.concatenate(parts, axis=1)
@@ -562,9 +558,16 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
     B, H_in, C_src, W_in = xp.shape
     C = C_slab or C_src
     kernel_pad = bool(C_slab)
-    assert P == 1 or kernel_pad, "packing requires the kernel-pad fill"
+    if P > 1 and not kernel_pad:
+        raise ValueError("packing requires the kernel-pad fill")
     Wk = P * W
-    R = _choose_rows(H, Wk, K, C, xp.dtype.itemsize)
+    # The stacked-dW form adds a lane-shifted dY scratch (gsh) with the
+    # same per-slab-row footprint scaling as the slab itself — budget
+    # it, or R lands ~2x over _VMEM_CAP on the wide-Cout shapes the
+    # packed gate admits (the forward path budgets its stacked product
+    # block the same way).
+    extra = K * Cout * Wk * xp.dtype.itemsize if _DW_STACKED else 0
+    R = _choose_rows(H, Wk, K, C, xp.dtype.itemsize, extra)
     n_rows = R + K - 1
     grid = (B // P, H // R)
     xp_rows = xp.reshape(B, H_in * C_src, W_in)

@@ -177,7 +177,8 @@ def test_kernel_pad_matches_xla(h, w, cin, cout, k, monkeypatch):
 
 @pytest.mark.parametrize("b,h,w,cin,cout,k", [
     (2, 4, 64, 64, 64, 3),    # @64^2 level, P=2
-    (4, 4, 64, 48, 64, 4),    # P=2 with batch > P and channel pad 48->64
+    (4, 4, 64, 48, 64, 4),    # P=2 with batch > P
+    (2, 4, 64, 40, 64, 4),    # true sublane channel pad: C_src 40 -> C 48
     (2, 4, 64, 64, 128, 3),   # cout 128: full MXU row occupancy
     (4, 4, 32, 128, 128, 3),  # @32^2 level, P=4
     (8, 2, 32, 96, 64, 4),    # P=4, batch 8, asymmetric SAME
