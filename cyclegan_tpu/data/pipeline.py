@@ -76,6 +76,17 @@ def _load_domain(records: Sequence[str], width: int) -> np.ndarray:
     return np.stack(images).astype(np.uint8)
 
 
+def _check_host_shard(process_index: int, process_count: int) -> None:
+    """Validate multi-host feed coordinates (jax.process_index/count)."""
+    if process_count < 1:
+        raise ValueError(f"process_count must be >= 1, got {process_count}")
+    if not 0 <= process_index < process_count:
+        raise ValueError(
+            f"process_index {process_index} out of range for "
+            f"process_count {process_count}"
+        )
+
+
 class ArrayDataset:
     """A paired two-domain dataset yielding per-epoch uint8 batches.
 
@@ -91,18 +102,26 @@ class ArrayDataset:
         images_b: np.ndarray,
         shuffle: bool = True,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.images_a = images_a
         self.images_b = images_b
         self.shuffle = shuffle
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        _check_host_shard(process_index, process_count)
 
     def __len__(self) -> int:
         return min(len(self.images_a), len(self.images_b))
 
     def num_batches(self, batch_size: int, drop_remainder: bool = True) -> int:
         n = len(self)
-        return n // batch_size if drop_remainder else -(-n // batch_size)
+        stride = batch_size * self.process_count
+        if drop_remainder or self.process_count > 1:
+            return n // stride
+        return -(-n // stride)
 
     def batches(
         self, batch_size: int, epoch: int = 0, drop_remainder: bool = True
@@ -113,6 +132,14 @@ class ArrayDataset:
         reference's dynamic final batch would force a recompile per epoch
         tail; with per-epoch reshuffling every image is still seen across
         epochs).
+
+        Multi-host pods (``process_count > 1``): ``batch_size`` is the
+        PER-HOST batch; every host walks the same ``(seed, epoch)``-keyed
+        global permutation and takes its own disjoint ``batch_size`` slice
+        of each global ``batch_size * process_count`` batch, so the hosts
+        jointly feed exactly the single-host global batch stream (tails
+        that don't fill a whole global batch are always dropped — a
+        partial batch on some hosts only would desync the pod).
         """
         n = len(self)
         if self.shuffle:
@@ -122,10 +149,13 @@ class ArrayDataset:
         else:
             idx_a = np.arange(n)
             idx_b = np.arange(n)
-        limit = n - (n % batch_size) if drop_remainder else n
-        for start in range(0, limit, batch_size):
-            sel_a = idx_a[start : start + batch_size]
-            sel_b = idx_b[start : start + batch_size]
+        stride = batch_size * self.process_count
+        limit = n - (n % stride) if (drop_remainder
+                                     or self.process_count > 1) else n
+        off = self.process_index * batch_size
+        for start in range(0, limit, stride):
+            sel_a = idx_a[start + off : start + off + batch_size]
+            sel_b = idx_b[start + off : start + off + batch_size]
             yield self.images_a[sel_a], self.images_b[sel_b]
 
     def take_pairs(self, count: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -140,6 +170,8 @@ def create_dataset(
     validation_split: float = 0.2,
     width: int = 128,
     seed: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Tuple[ArrayDataset, ArrayDataset]:
     """Build (train, validation) datasets from two domains' TFRecord shards.
 
@@ -147,6 +179,13 @@ def create_dataset(
     validation size is ``int(validation_split * len(domain_a))`` applied to
     both domains, exactly the reference's formula (:54-55). Membership is a
     fixed seeded permutation per domain (leak-free; see module docstring).
+
+    ``process_index``/``process_count`` (pass ``jax.process_index()`` /
+    ``jax.process_count()`` on a pod) make each host feed its disjoint
+    slice of every global batch — see :meth:`ArrayDataset.batches`. Note
+    this loader still decodes the full corpus on every host; for
+    beyond-RAM multi-host corpora use the streaming loader, which only
+    reads the records each host actually feeds.
     """
     images_a = _load_domain(records_a, width)
     images_b = _load_domain(records_b, width)
@@ -159,6 +198,10 @@ def create_dataset(
     val_a, train_a = images_a[perm_a[:num_validation]], images_a[perm_a[num_validation:]]
     val_b, train_b = images_b[perm_b[:num_validation]], images_b[perm_b[num_validation:]]
 
-    train_ds = ArrayDataset(train_a, train_b, shuffle=True, seed=seed)
-    val_ds = ArrayDataset(val_a, val_b, shuffle=False, seed=seed)
+    train_ds = ArrayDataset(train_a, train_b, shuffle=True, seed=seed,
+                            process_index=process_index,
+                            process_count=process_count)
+    val_ds = ArrayDataset(val_a, val_b, shuffle=False, seed=seed,
+                          process_index=process_index,
+                          process_count=process_count)
     return train_ds, val_ds

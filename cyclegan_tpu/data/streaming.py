@@ -84,12 +84,19 @@ class StreamingDataset:
         width: int,
         shuffle: bool = True,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        from cyclegan_tpu.data.pipeline import _check_host_shard
+
         self.refs_a = list(refs_a)
         self.refs_b = list(refs_b)
         self.width = width
         self.shuffle = shuffle
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        _check_host_shard(process_index, process_count)
         self._workers = min(32, max(4, os.cpu_count() or 4))
 
     def __len__(self) -> int:
@@ -97,7 +104,10 @@ class StreamingDataset:
 
     def num_batches(self, batch_size: int, drop_remainder: bool = True) -> int:
         n = len(self)
-        return n // batch_size if drop_remainder else -(-n // batch_size)
+        stride = batch_size * self.process_count
+        if drop_remainder or self.process_count > 1:
+            return n // stride
+        return -(-n // stride)
 
     def _decode_batch(
         self, pool: cf.ThreadPoolExecutor, sel_a, sel_b
@@ -118,6 +128,12 @@ class StreamingDataset:
         Identical order semantics to ArrayDataset.batches (same
         ``(seed, epoch)``-keyed permutations); decode of batch i+1 overlaps
         the consumer's work on batch i (single-batch prefetch).
+
+        Multi-host pods: same per-host slicing contract as
+        :meth:`ArrayDataset.batches` — ``batch_size`` is the PER-HOST
+        batch and each host takes its disjoint slice of every global
+        ``batch_size * process_count`` batch. Unlike the in-memory
+        loader, a host only ever reads/decodes the records it feeds.
         """
         n = len(self)
         if self.shuffle:
@@ -127,23 +143,26 @@ class StreamingDataset:
         else:
             idx_a = np.arange(n)
             idx_b = np.arange(n)
-        limit = n - (n % batch_size) if drop_remainder else n
-        starts = list(range(0, limit, batch_size))
+        stride = batch_size * self.process_count
+        limit = n - (n % stride) if (drop_remainder
+                                     or self.process_count > 1) else n
+        off = self.process_index * batch_size
+        starts = list(range(0, limit, stride))
         if not starts:
             return
         with cf.ThreadPoolExecutor(self._workers) as pool:
             future = pool.submit(
                 self._decode_batch,
                 pool,
-                idx_a[starts[0] : starts[0] + batch_size],
-                idx_b[starts[0] : starts[0] + batch_size],
+                idx_a[starts[0] + off : starts[0] + off + batch_size],
+                idx_b[starts[0] + off : starts[0] + off + batch_size],
             )
             for start in starts[1:]:
                 next_future = pool.submit(
                     self._decode_batch,
                     pool,
-                    idx_a[start : start + batch_size],
-                    idx_b[start : start + batch_size],
+                    idx_a[start + off : start + off + batch_size],
+                    idx_b[start + off : start + off + batch_size],
                 )
                 yield future.result()
                 future = next_future
@@ -164,6 +183,8 @@ def create_streaming_dataset(
     validation_split: float = 0.2,
     width: int = 128,
     seed: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Tuple[StreamingDataset, StreamingDataset]:
     """(train, validation) StreamingDatasets over two domains' shards.
 
@@ -192,6 +213,10 @@ def create_streaming_dataset(
         pick(refs_b, perm_b[:num_validation]),
         pick(refs_b, perm_b[num_validation:]),
     )
-    train_ds = StreamingDataset(train_a, train_b, width, shuffle=True, seed=seed)
-    val_ds = StreamingDataset(val_a, val_b, width, shuffle=False, seed=seed)
+    train_ds = StreamingDataset(train_a, train_b, width, shuffle=True,
+                                seed=seed, process_index=process_index,
+                                process_count=process_count)
+    val_ds = StreamingDataset(val_a, val_b, width, shuffle=False, seed=seed,
+                              process_index=process_index,
+                              process_count=process_count)
     return train_ds, val_ds

@@ -284,3 +284,70 @@ def test_fetch_from_remote_materializes_and_verifies(tmp_path):
         fetch_from_remote(local, str(remote))
     assert not (local / bad).exists()
     assert not list(local.glob("*.fetch"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-host feeding: each process takes a disjoint slice of every global
+# batch (the pod-feed primitive; pass jax.process_index()/process_count()).
+# ---------------------------------------------------------------------------
+
+
+def _host_shard_arrays(n_a=20, n_b=17, size=4):
+    from cyclegan_tpu.data.pipeline import ArrayDataset
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, size=(n_a, size, size, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, size=(n_b, size, size, 3), dtype=np.uint8)
+    return ArrayDataset, a, b
+
+
+def test_host_sharded_batches_partition_the_global_stream():
+    """pc=2 hosts' streams, interleaved per global batch, must equal the
+    single-host stream at global batch size 2*B — same order, no overlap,
+    nothing lost."""
+    ArrayDataset, a, b = _host_shard_arrays()
+    B = 3
+    single = ArrayDataset(a, b, shuffle=True, seed=11)
+    hosts = [
+        ArrayDataset(a, b, shuffle=True, seed=11,
+                     process_index=i, process_count=2)
+        for i in range(2)
+    ]
+    global_batches = list(single.batches(2 * B, epoch=4))
+    host_batches = [list(h.batches(B, epoch=4)) for h in hosts]
+
+    assert hosts[0].num_batches(B) == len(global_batches)
+    assert [len(hb) for hb in host_batches] == [len(global_batches)] * 2
+    for gi, (ga, gb) in enumerate(global_batches):
+        merged_a = np.concatenate([host_batches[0][gi][0],
+                                   host_batches[1][gi][0]])
+        merged_b = np.concatenate([host_batches[0][gi][1],
+                                   host_batches[1][gi][1]])
+        np.testing.assert_array_equal(merged_a, ga)
+        np.testing.assert_array_equal(merged_b, gb)
+
+
+def test_host_sharded_tail_dropped_on_every_host():
+    """A tail that fills host 0's slice but not host 1's must be dropped
+    everywhere — a partial global batch would desync the pod."""
+    ArrayDataset, a, b = _host_shard_arrays(n_a=17, n_b=17)
+    hosts = [
+        ArrayDataset(a, b, shuffle=False, seed=0,
+                     process_index=i, process_count=4)
+        for i in range(4)
+    ]
+    # 17 pairs, global batch 4*2=8 -> exactly 2 global batches
+    counts = [sum(1 for _ in h.batches(2, drop_remainder=False))
+              for h in hosts]
+    assert counts == [2, 2, 2, 2]
+    assert [h.num_batches(2, drop_remainder=False) for h in hosts] == counts
+
+
+def test_host_shard_validation():
+    ArrayDataset, a, b = _host_shard_arrays(n_a=4, n_b=4)
+    with pytest.raises(ValueError):
+        ArrayDataset(a, b, process_index=2, process_count=2)
+    with pytest.raises(ValueError):
+        ArrayDataset(a, b, process_index=0, process_count=0)
+    with pytest.raises(ValueError):
+        ArrayDataset(a, b, process_index=-1, process_count=2)

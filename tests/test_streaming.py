@@ -90,3 +90,29 @@ def test_streaming_trains(tmp_path):
     gan = CycleGan(tiny_model_config(tmp_path), tiny_train_config(epochs=1))
     gan.train(train_ds, val_ds)
     assert int(gan.state.step) >= 1
+
+
+def test_streaming_host_sharding_matches_arraydataset(tmp_path, monkeypatch):
+    """pc=2 streaming hosts must feed exactly the slices the in-memory
+    loader's host-shard contract defines (same permutations, same
+    per-host offsets), and each host only decodes its own records."""
+    import cyclegan_tpu.data.native as native_mod
+
+    monkeypatch.setattr(native_mod, "load_domain_native",
+                        lambda *a, **k: None)
+    records_a = _domain(tmp_path, "sa", 11)
+    records_b = _domain(tmp_path, "sb", 9)
+    mem_train, _ = create_dataset(records_a, records_b, width=16, seed=3)
+    B = 2
+    mem_host1 = type(mem_train)(mem_train.images_a, mem_train.images_b,
+                                shuffle=True, seed=3,
+                                process_index=1, process_count=2)
+    st_train, _ = create_streaming_dataset(records_a, records_b, width=16,
+                                           seed=3, process_index=1,
+                                           process_count=2)
+    st = list(st_train.batches(B, epoch=2))
+    mem = list(mem_host1.batches(B, epoch=2))
+    assert len(st) == len(mem) == st_train.num_batches(B)
+    for (sa, sb), (ma, mb) in zip(st, mem):
+        np.testing.assert_array_equal(sa, ma)
+        np.testing.assert_array_equal(sb, mb)
