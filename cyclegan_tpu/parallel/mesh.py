@@ -59,21 +59,47 @@ def create_mesh_2d(
     return Mesh(grid, tuple(axis_names))
 
 
-def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data") -> Any:
-    """Place host arrays on device, sharded along dim 0 of every leaf.
+def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data",
+                batch_dim: int = 0) -> Any:
+    """Place host arrays on device, sharded along ``batch_dim`` of every leaf.
 
-    Raises ValueError up front when dim 0 does not divide over the mesh —
-    XLA's own error for this is cryptic (VERDICT r1, weak #7)."""
-    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    Raises ValueError up front when the batch dim does not divide over the
+    mesh — XLA's own error for this is cryptic (VERDICT r1, weak #7).
+
+    Multi-process pods (``jax.process_count() > 1``): each process passes
+    its HOST-LOCAL slice of the global batch (the disjoint per-host feed
+    the data loaders produce via ``process_index``/``process_count``) and
+    gets back a global ``jax.Array`` assembled with
+    ``jax.make_array_from_process_local_data`` — batch dim 0 of the global
+    array is ``local_batch * process_count``. Single-process meshes (all
+    of this environment's real and virtual runs) keep the plain
+    ``device_put`` path where the local batch IS the global batch.
+    """
+    spec = [None] * (batch_dim + 1)
+    spec[batch_dim] = axis_name
+    sharding = NamedSharding(mesh, P(*spec))
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # local feed divides over this process's slice of the mesh axis
+        n = int(mesh.local_mesh.shape.get(axis_name, 1))
+        scope = "per-host mesh size"
+    else:
+        n = int(mesh.shape[axis_name])
+        scope = "mesh size"
 
     def check_and_put(x):
-        if x.shape[0] % n != 0:
+        if x.shape[batch_dim] % n != 0:
             raise ValueError(
-                f"batch dimension {x.shape[0]} is not divisible by the "
-                f"mesh size {n} ({dict(mesh.shape)}); choose a batch_size "
-                f"that is a multiple of the device count"
+                f"batch dimension {x.shape[batch_dim]} is not divisible by "
+                f"the {scope} {n} along axis {axis_name!r} "
+                f"({dict(mesh.shape)}); choose a batch_size that is a "
+                f"multiple of the device count"
             )
-        return jax.device_put(x, NamedSharding(mesh, P(axis_name)))
+        if multiproc:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(check_and_put, tree)
 

@@ -64,8 +64,14 @@ class CycleGan:
         self.train_config = train_config
         self.mesh = mesh
         self.model_folder = join(model_config.location, model_config.name)
-        self.train_summaries = SummaryWriter(join(self.model_folder, "train"))
-        self.val_summaries = SummaryWriter(join(self.model_folder, "validation"))
+        # Multi-process pods: every host runs the same replicated loop, but
+        # only the lead host touches the filesystem (TB events, images,
+        # checkpoints) — the SPMD analogue of "one writer per artifact".
+        self.is_lead = jax.process_index() == 0
+        self.train_summaries = SummaryWriter(join(self.model_folder, "train"),
+                                             enabled=self.is_lead)
+        self.val_summaries = SummaryWriter(
+            join(self.model_folder, "validation"), enabled=self.is_lead)
 
         # Optional perf knobs (default = reference behavior):
         #   compute_dtype: bfloat16 runs the network math on the MXU fast
@@ -212,12 +218,18 @@ class CycleGan:
 
     def train(self, train_dataset: ArrayDataset, validation_dataset: ArrayDataset):
         batch_size = int(self.train_config.batch_size)
-        if self.mesh is not None and batch_size % self.mesh.devices.size != 0:
-            raise ValueError(
-                f"batch_size {batch_size} is not divisible by the mesh size "
-                f"{self.mesh.devices.size}; data parallelism shards the "
-                "batch dim 0 evenly over devices"
-            )
+        if self.mesh is not None:
+            # batch_size is the PER-HOST feed; on a single process that is
+            # the global batch. shard_batch re-checks per put, this is the
+            # fail-fast with the actionable message.
+            local = (self.mesh.local_mesh.devices.size
+                     if jax.process_count() > 1 else self.mesh.devices.size)
+            if batch_size % local != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} is not divisible by the mesh's "
+                    f"per-host device count {local}; data parallelism "
+                    "shards the batch dim 0 evenly over devices"
+                )
         epochs = int(self.train_config.epochs)
         save_images_every = int(self.train_config.summary["images"])
         tensorboard_samples = int(self.train_config.summary["samples"])
@@ -299,7 +311,7 @@ class CycleGan:
             self._display_metrics(train_metrics, train_bar)
 
             self._write_summaries(self.train_summaries, e, train_metrics)
-            if e % save_images_every == 0:
+            if self.is_lead and e % save_images_every == 0:
                 self.write_images(e, self.a_samples, self.b_samples,
                                   tensorboard_samples)
 
@@ -329,9 +341,10 @@ class CycleGan:
                 self.save_model()
 
         self.model_config.current_epoch = current_epoch + epochs
-        Path(self.model_folder).mkdir(parents=True, exist_ok=True)
-        namespace2yaml(join(self.model_folder, "model_config.yaml"),
-                       self.model_config)
+        if self.is_lead:
+            Path(self.model_folder).mkdir(parents=True, exist_ok=True)
+            namespace2yaml(join(self.model_folder, "model_config.yaml"),
+                           self.model_config)
         self.save_model()
 
     # ------------------------------------------------------------------
@@ -345,6 +358,14 @@ class CycleGan:
         Keras predict (cyclegan/model.py:270-271)."""
         name = {"a2b": "g_AB", "b2a": "g_BA"}[direction]
         images = np.asarray(images)
+        params = self.state.params[name]
+        model_state = self.state.model_state[name]
+        if jax.process_count() > 1:
+            # params are fully replicated global arrays; pull the host-local
+            # copy so this stays a per-host (addressable-devices) jit
+            # instead of a collective every host would have to join.
+            params = jax.device_get(params)
+            model_state = jax.device_get(model_state)
         key = (name, images.shape, str(images.dtype))
         if key not in self._predict_fns:
             model = self.models[name]
@@ -357,10 +378,7 @@ class CycleGan:
 
             self._predict_fns[key] = fwd
         return np.asarray(
-            self._predict_fns[key](
-                self.state.params[name], self.state.model_state[name],
-                jnp.asarray(images),
-            )
+            self._predict_fns[key](params, model_state, jnp.asarray(images))
         )
 
     # ------------------------------------------------------------------
@@ -421,11 +439,11 @@ class CycleGan:
         stack_a = np.stack([a for a, _ in chunk])
         stack_b = np.stack([b for _, b in chunk])
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            sharding = NamedSharding(self.mesh, P(None, "data"))
-            stack_a = jax.device_put(stack_a, sharding)
-            stack_b = jax.device_put(stack_b, sharding)
+            # (K, B, ...) — shard B; handles host-local -> global assembly
+            # on multi-process pods too.
+            stack_a, stack_b = shard_batch(
+                self.mesh, (stack_a, stack_b), batch_dim=1
+            )
         self.state, stacked = self.multi_step_fn(
             self.state, jnp.asarray(stack_a), jnp.asarray(stack_b)
         )
@@ -443,7 +461,13 @@ class CycleGan:
     def save_model(self) -> None:
         """Persist the full TrainState + fixed sample images + configs
         (the shipped reference artifact carries both configs,
-        model_instances/model/{model,train}_config.yaml)."""
+        model_instances/model/{model,train}_config.yaml).
+
+        Multi-process pods: the state is fully replicated, so only the
+        lead host writes (all hosts hold identical values; on resume every
+        host reads the same checkpoint from the shared filesystem)."""
+        if not self.is_lead:
+            return
         folder = Path(self.model_folder)
         folder.mkdir(parents=True, exist_ok=True)
         save_pytree(folder / CHECKPOINT_FILE, jax.device_get(self.state))

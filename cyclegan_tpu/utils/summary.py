@@ -25,11 +25,17 @@ except Exception:  # pragma: no cover
 
 class SummaryWriter:
     """Scalar/image event writer bound to one logdir (the reference keeps
-    one for train/ and one for validation/, cyclegan/model.py:62-66)."""
+    one for train/ and one for validation/, cyclegan/model.py:62-66).
 
-    def __init__(self, logdir: str):
+    ``enabled=False`` makes every method a no-op and creates no logdir —
+    multi-process pods pass ``jax.process_index() == 0`` so only the lead
+    host emits events (every host computes the same replicated metrics)."""
+
+    def __init__(self, logdir: str, enabled: bool = True):
         self.logdir = logdir
-        self._writer: Optional[object] = _TBXWriter(logdir) if _HAS_TBX else None
+        self._writer: Optional[object] = (
+            _TBXWriter(logdir) if (_HAS_TBX and enabled) else None
+        )
 
     def scalar(self, tag: str, value: float, step: int) -> None:
         if self._writer is not None:

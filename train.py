@@ -49,8 +49,20 @@ def parse_arguments():
         "--num_devices",
         type=int,
         default=-1,
-        help="Devices in the data-parallel mesh (-1 = all local devices).",
+        help="Devices in the data-parallel mesh (-1 = all devices).",
     )
+    # Multi-process pod launch (one process per host, same command on
+    # every host): --distributed alone auto-detects coordinator/process
+    # topology from the TPU pod metadata (jax.distributed.initialize with
+    # no args); the explicit flags are for manual clusters (e.g. CPU/GPU
+    # rigs or tests): --coordinator host:port --num_processes N
+    # --process_id <rank>.
+    parser.add_argument("--distributed", action="store_true",
+                        help="Initialize jax.distributed (multi-host pod).")
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator host:port (manual clusters)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     return parser.parse_args()
 
 
@@ -61,6 +73,17 @@ def main():
 
     honor_env_platform()
     import jax
+
+    if args.distributed or args.coordinator:
+        # Before any backend use. No-arg form self-configures on TPU pods;
+        # manual form serves generic clusters/tests.
+        kwargs = {}
+        if args.coordinator:
+            kwargs = dict(coordinator_address=args.coordinator,
+                          num_processes=args.num_processes,
+                          process_id=args.process_id)
+        jax.distributed.initialize(**kwargs)
+        logger.info("process %d/%d", jax.process_index(), jax.process_count())
 
     from cyclegan_tpu.config import yaml2namespace
     from cyclegan_tpu.data import create_dataset
@@ -96,6 +119,9 @@ def main():
         records_b=records_b,
         width=training_config.image_size,
         seed=int(model_config.get("seed", 0)),
+        # each host feeds its disjoint slice of every global batch
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
     gan.train(train_dataset=train_ds, validation_dataset=val_ds)
 
