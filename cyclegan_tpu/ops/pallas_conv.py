@@ -84,9 +84,10 @@ _W_DEPTH_MAJOR = os.environ.get("PALLAS_W_FORM", "rowmajor") == "depthmajor"
 # VMEM budget for the dx-shifted slab scratch. Larger budgets allow more
 # rows R per grid step, amortizing the (R+K-1)/R halo re-read/re-shift
 # overhead — the kernel's measured bottleneck (see the stacked-forward
-# negative result in BASELINE.md). v5e has >= 64 MB of VMEM; the
-# original 3.5 MB cap predates the vmem_limit_bytes compiler param.
-_VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(3_500_000)))
+# negative result in BASELINE.md). v5e has >= 64 MB of VMEM. A/B on-chip
+# (staged sweep, whole default recipe): 3.5 MB 69.7, 8 MB 71.0, 16 MB
+# 70.8 img/s — 8 MB is the default.
+_VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(8_000_000)))
 # SAME-padding site. "xla" (legacy): every conv call materializes a
 # spatially padded copy of its input (jnp.pad to [Hp, C_pad, W_lane],
 # W_lane lane-rounded to 384 for W=256 / 256 for W=128) — 3 full-tensor
@@ -97,7 +98,10 @@ _VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(3_500_000)))
 # lanes / out-of-range rows are zeroed once at grid step 0 and never
 # written again) — no XLA pad op, no pad-lane DMA, and channel padding
 # (C -> 16-sublane tile) comes free the same way.
-_KERNEL_PAD = os.environ.get("PALLAS_PAD", "xla") == "kernel"
+# A/B on-chip (after the 4-D row-block fix — the folded H*C view broke
+# Mosaic's sublane rule for the C=3 stem conv): kernel 75.3 vs xla 71.3
+# img/s on the whole default recipe — kernel is the default.
+_KERNEL_PAD = os.environ.get("PALLAS_PAD", "kernel") == "kernel"
 # Batch-paired lane packing for W < 128 (PALLAS_WPACK=1, off pending
 # bench). The deep U-Net levels (@64^2/@32^2, cin/cout 64-128) never
 # dispatched because lane-dense rows need W % 128 == 0. Packing P =
@@ -260,15 +264,21 @@ def _fill_shifted(rows, shifted, K, C, W, n_rows, *, W_in=None,
         src = rows[j]
 
         def copy_blocks(j=j, src=src):
+            # kernel-pad rows are 4-D [P, 1, C_src, W_in] blocks (the C
+            # dim must stay a FULL array dim — Mosaic's sublane rule
+            # rejects C_src % 8 != 0 blocks of a folded H*C axis, e.g.
+            # the RGB stem conv); legacy rows are 3-D [1, C_src, W_in].
+            four_d = len(src.shape) == 4
             for p in range(P):
                 for dx in range(K):
                     shift = dx - pleft
                     s0 = max(0, shift)
                     s1 = min(W_in, W_seg + shift)
                     base = j * W + p * W_seg
+                    piece = (src[p, 0, :C_src, s0:s1] if four_d
+                             else src[p, :C_src, s0:s1])
                     shifted[dx * C:dx * C + C_src,
-                            base + s0 - shift:base + s1 - shift] = \
-                        src[p, :C_src, s0:s1]
+                            base + s0 - shift:base + s1 - shift] = piece
 
         may_hang_top = j < ptop
         may_hang_bot = kernel_pad and j >= R + ptop
@@ -381,16 +391,19 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
     n_rows = R + K - 1
     grid = (B // P, H // R)
 
-    xp_rows = xp.reshape(B, H_in * C_src, W_in)
+    # Kernel-pad mode keeps xp 4-D so the C dim is a FULL array dim
+    # (Mosaic's last-two-dims rule rejects C_src % 8 != 0 sublane blocks
+    # of a folded H*C axis — e.g. the 3-channel stem conv).
+    xp_rows = xp if kernel_pad else xp.reshape(B, H_in * C_src, W_in)
     fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
                     R=R, H_img=H_in, P=P) if kernel_pad else {})
 
     def row_spec(j):
         if kernel_pad:
             return pl.BlockSpec(
-                (P, C_src, W_in),
+                (P, 1, C_src, W_in),
                 lambda b, i, j=j: (b, jnp.clip(i * R + j - ptop, 0,
-                                               H_in - 1), 0),
+                                               H_in - 1), 0, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
@@ -570,7 +583,8 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
     R = _choose_rows(H, Wk, K, C, xp.dtype.itemsize, extra)
     n_rows = R + K - 1
     grid = (B // P, H // R)
-    xp_rows = xp.reshape(B, H_in * C_src, W_in)
+    # 4-D in kernel-pad mode — see the forward path's row_spec note.
+    xp_rows = xp if kernel_pad else xp.reshape(B, H_in * C_src, W_in)
     dy_rows = dy.reshape(B, H * Cout, W)
     fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
                     R=R, H_img=H_in, P=P) if kernel_pad else {})
@@ -578,9 +592,9 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
     def row_spec(j):
         if kernel_pad:
             return pl.BlockSpec(
-                (P, C_src, W_in),
+                (P, 1, C_src, W_in),
                 lambda b, i, j=j: (b, jnp.clip(i * R + j - ptop, 0,
-                                               H_in - 1), 0),
+                                               H_in - 1), 0, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
