@@ -107,11 +107,18 @@ class CycleGan:
             pallas_norm.enable(True)
         # tpu_layout: run the train step in the lane-dense NHCW layout
         # with the Pallas kernel pack (conv/1x1/pool/upsample/norm-act) —
-        # the measured TPU fast path (42.6 vs 36.5 img/s at bf16; see
+        # the measured TPU fast path (75.3 vs 36.5 img/s at bf16; see
         # BASELINE.md). Requires compute_dtype bfloat16 to dispatch; the
         # parity float32 path is unaffected. Checkpoints, metrics and
-        # configs are identical in both layouts.
-        self.tpu_layout = bool(train_config.get("tpu_layout", False))
+        # configs are identical in both layouts. Default "auto": ON when
+        # running on a real TPU backend with bf16 compute (the benchmarked
+        # product path), OFF on CPU/GPU (where the interpreter would be
+        # slower than XLA's native lowering).
+        tpu_layout = train_config.get("tpu_layout", "auto")
+        if isinstance(tpu_layout, str) and tpu_layout.lower() == "auto":
+            tpu_layout = (jax.default_backend() == "tpu"
+                          and self.compute_dtype == "bfloat16")
+        self.tpu_layout = bool(tpu_layout)
         if self.tpu_layout:
             from cyclegan_tpu.ops import (
                 pallas_concat,

@@ -58,7 +58,21 @@ def build(tpu_layout: bool):
     return train, state, x
 
 
-def group_key(name: str) -> str:
+CATEGORY_GROUPS = {
+    # authoritative when the trace carries args.hlo_category
+    "custom-call": "pallas-kernel",
+    "convolution": "conv",
+    "transpose": "transpose",
+    "copy": "copy/reshape",
+    "reshape": "copy/reshape",
+    "bitcast": "copy/reshape",
+    "all-reduce": "collective",
+    "reduce-window": "reduce-window(pool)",
+    "reduce": "reduce",
+}
+
+
+def group_key(name: str, category: str = "") -> str:
     """Collapse an HLO op name to an attribution bucket.
 
     Backward-pass ops carry jax's autodiff naming wrappers
@@ -66,12 +80,22 @@ def group_key(name: str) -> str:
     every backward op (including Pallas custom-calls) lands in a bogus
     "transpose" bucket and pallas-kernel reads zero.
     """
+    cat = category.lower().strip()
+    if cat in CATEGORY_GROUPS:
+        return CATEGORY_GROUPS[cat]
+    if cat == "fusion":
+        return "fusion(elementwise)"
     n = name.lower()
-    for pref in ("transpose_jvp___", "transpose_jvp__", "transpose_jvp_",
-                 "jvp___", "jvp__", "jvp_"):
-        if n.startswith(pref):
-            n = n[len(pref):]
-            break
+    # Wrappers nest (e.g. ``transpose_jvp_transpose_jvp_jvp______``): keep
+    # stripping until none match, or backward Pallas custom-calls land in a
+    # bogus "transpose" bucket.
+    stripped = True
+    while stripped:
+        stripped = False
+        for pref in ("transpose_jvp_", "jvp_", "_"):
+            if n.startswith(pref):
+                n = n[len(pref):]
+                stripped = True
     kernel_fns = ("_conv_kernel", "_dw_kernel", "_conv1x1_kernel",
                   "_dw1x1_kernel", "_fwd_kernel", "_bwd_kernel",
                   "_sum2x2", "_dup2x2", "_concat_kernel", "_norm_act")
@@ -108,7 +132,14 @@ def main():
     ap.add_argument("--pallas-concat", action="store_true")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--out", default="/tmp/trace_step")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="skip capture; re-parse the newest trace under "
+                    "--out (steps must match the captured run)")
     args = ap.parse_args()
+
+    if args.parse_only:
+        parse_and_print(args)
+        return
 
     if args.pallas_conv:
         from cyclegan_tpu.ops import pallas_conv
@@ -145,6 +176,10 @@ def main():
     jax.profiler.stop_trace()
     time.sleep(2)
 
+    parse_and_print(args)
+
+
+def parse_and_print(args):
     traces = sorted(glob.glob(
         args.out + "/**/*.trace.json.gz", recursive=True))
     if not traces:
@@ -173,6 +208,7 @@ def main():
     by_group = collections.Counter()
     by_name = collections.Counter()
     by_source = collections.Counter()
+    by_cross = collections.Counter()  # (source, group) pairs
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -186,17 +222,23 @@ def main():
         # skip the enclosing module/program events (they span everything)
         if dur > 1e6 or name.startswith(("jit_", "pjit")):
             continue
-        by_group[group_key(name)] += dur
+        category = e.get("args", {}).get("hlo_category", "")
+        group = group_key(name, category)
+        by_group[group] += dur
         # Same wrapper-stripping as group_key so backward ops don't all
         # collapse into one "transpose_jvp___" row.
         core = name
-        for pref in ("transpose_jvp___", "transpose_jvp__", "jvp___",
-                     "jvp__"):
-            if core.startswith(pref):
-                core = core[len(pref):] or pref
+        while True:
+            for pref in ("transpose_jvp_", "jvp_", "_"):
+                if core.startswith(pref) and len(core) > len(pref):
+                    core = core[len(pref):]
+                    break
+            else:
                 break
-        by_name[core.split(".")[0]] += dur
-        by_source[e.get("args", {}).get("source", "?")] += dur
+        by_name[core.split(".")[0] or "<unnamed>"] += dur
+        src = e.get("args", {}).get("source", "?")
+        by_source[src] += dur
+        by_cross[(src, group)] += dur
         total += dur
 
     n = max(args.steps, 1)
@@ -213,6 +255,9 @@ def main():
     print("\n== top 20 sources (ms/step) ==")
     for src, d in by_source.most_common(20):
         print(f"  {d/1e3/n:8.3f}  {src[:100]}")
+    print("\n== top 25 (source, group) pairs (ms/step) ==")
+    for (src, g), d in by_cross.most_common(25):
+        print(f"  {d/1e3/n:8.3f}  {g:22s} {src[:80]}")
 
 
 if __name__ == "__main__":

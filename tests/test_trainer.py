@@ -327,6 +327,26 @@ def test_two_axis_mesh_matches_single_device(tmp_path):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
 
 
+def test_tpu_layout_auto_resolution(tmp_path):
+    """`tpu_layout` defaults to "auto": ON only on a real TPU backend with
+    bf16 compute (the benchmarked product path), OFF on CPU (this suite) —
+    explicit true/false always wins."""
+    mc = tiny_model_config(tmp_path)
+    tc = tiny_train_config()
+    tc.compute_dtype = "bfloat16"
+    assert not CycleGan(mc, tc).tpu_layout  # auto on CPU -> off
+
+    tc2 = tiny_train_config()
+    tc2.compute_dtype = "bfloat16"
+    tc2.tpu_layout = True
+    assert CycleGan(tiny_model_config(tmp_path), tc2).tpu_layout
+
+    tc3 = tiny_train_config()
+    tc3.compute_dtype = "bfloat16"
+    tc3.tpu_layout = False
+    assert not CycleGan(tiny_model_config(tmp_path), tc3).tpu_layout
+
+
 def test_trainer_tpu_layout_smoke(tmp_path):
     """The tpu_layout product knob (training_config `tpu_layout: true`)
     trains end-to-end through the NHCW layout path: finite metrics,
