@@ -39,9 +39,32 @@ class InferenceSession:
     """
 
     def __init__(self, model_dir: Union[str, Path],
-                 compute_dtype: str = "float32"):
+                 compute_dtype: str = "float32",
+                 tpu_layout: Union[str, bool] = "auto"):
         self.compute_dtype = compute_dtype
         import jax
+
+        # tpu_layout: serve the generator through the lane-dense NHCW
+        # layout + Pallas kernel pack (the training fast path; see
+        # BASELINE.md). "auto" = on for TPU backend + bfloat16 serving,
+        # off elsewhere (the float32 TF-parity mode stays on XLA).
+        if isinstance(tpu_layout, str) and tpu_layout.lower() == "auto":
+            tpu_layout = (jax.default_backend() == "tpu"
+                          and compute_dtype == "bfloat16")
+        self.tpu_layout = bool(tpu_layout)
+        if self.tpu_layout:
+            from cyclegan_tpu.ops import (
+                pallas_concat,
+                pallas_conv,
+                pallas_norm_act,
+                pallas_resize,
+            )
+
+            for mod in (pallas_conv, pallas_resize, pallas_norm_act,
+                        pallas_concat):
+                mod.enable(True)
+                if jax.default_backend() != "tpu":
+                    mod.set_interpret(True)
 
         model_dir = Path(model_dir)
         config_path = model_dir / "model_config.yaml"
@@ -86,8 +109,12 @@ class InferenceSession:
             model = self.models[name]
             cdtype = jnp.dtype(self.compute_dtype)
 
+            use_nhcw = self.tpu_layout
+
             @jax.jit
             def fwd(params, model_state, x):
+                from cyclegan_tpu.ops import layout as _layout
+
                 x = normalize(x) if x.dtype == jnp.uint8 else x
                 if cdtype != jnp.float32:
                     params = jax.tree_util.tree_map(
@@ -96,7 +123,13 @@ class InferenceSession:
                         params,
                     )
                     x = x.astype(cdtype)
-                y, _ = model.apply(params, model_state, x, train=False)
+                if use_nhcw:
+                    with _layout.nhcw():
+                        y, _ = model.apply(params, model_state,
+                                           _layout.to_nhcw(x), train=False)
+                    y = _layout.from_nhcw(y)
+                else:
+                    y, _ = model.apply(params, model_state, x, train=False)
                 return denormalize_to_uint8(y.astype(jnp.float32))
 
             self._fns[key] = fwd

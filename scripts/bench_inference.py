@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--tpu-layout", action="store_true",
+                        help="serve through the NHCW layout + Pallas "
+                        "kernel pack (the InferenceSession tpu_layout "
+                        "auto mode for TPU+bf16)")
     args = parser.parse_args()
 
     import jax
@@ -41,15 +45,33 @@ def main():
     params, state = model.init(jax.random.PRNGKey(0))
     cdtype = jnp.dtype(args.dtype)
 
+    if args.tpu_layout:
+        from cyclegan_tpu.ops import (
+            pallas_concat, pallas_conv, pallas_norm_act, pallas_resize,
+        )
+
+        for mod in (pallas_conv, pallas_resize, pallas_norm_act,
+                    pallas_concat):
+            mod.enable(True)
+            if jax.default_backend() != "tpu":
+                mod.set_interpret(True)
+
     @jax.jit
     def stylize(params, x):
+        from cyclegan_tpu.ops import layout as _layout
+
         x = normalize(x)
         if cdtype != jnp.float32:
             params = jax.tree_util.tree_map(
                 lambda v: v.astype(cdtype)
                 if jnp.issubdtype(v.dtype, jnp.floating) else v, params)
             x = x.astype(cdtype)
-        y, _ = model.apply(params, state, x)
+        if args.tpu_layout:
+            with _layout.nhcw():
+                y, _ = model.apply(params, state, _layout.to_nhcw(x))
+            y = _layout.from_nhcw(y)
+        else:
+            y, _ = model.apply(params, state, x)
         return denormalize_to_uint8(y.astype(jnp.float32))
 
     rng = np.random.default_rng(0)

@@ -240,6 +240,25 @@ def test_inference_bfloat16_mode(trained_model_dir):
     assert np.abs(out32 - out16).mean() < 4.0  # ~1% of the 255 range
 
 
+def test_inference_tpu_layout_mode(trained_model_dir):
+    """The NHCW + kernel-pack serving mode (tpu_layout=True; interpreter
+    off-TPU) matches the default bf16 XLA path, and "auto" resolves off
+    on CPU."""
+    bf16 = InferenceSession(trained_model_dir, compute_dtype="bfloat16")
+    assert not bf16.tpu_layout  # auto on CPU -> off
+    nhcw = InferenceSession(trained_model_dir, compute_dtype="bfloat16",
+                            tpu_layout=True)
+    assert nhcw.tpu_layout
+    rng = np.random.default_rng(11)
+    batch = rng.integers(0, 256, size=(2, 16, 16, 3), dtype=np.uint8)
+    for direction in ("a2b", "b2a"):
+        base = bf16.stylize(batch, direction).astype(int)
+        fast = nhcw.stylize(batch, direction).astype(int)
+        assert fast.shape == base.shape
+        # same math, different accumulation order at bf16
+        assert np.abs(base - fast).mean() < 4.0
+
+
 def test_inference_restores_non_adam_checkpoint(tmp_path):
     """Inference never needs optimizer structure: a checkpoint trained with
     rmsprop (different opt_state tree than adam) restores through
