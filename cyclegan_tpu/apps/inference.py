@@ -40,9 +40,30 @@ class InferenceSession:
 
     def __init__(self, model_dir: Union[str, Path],
                  compute_dtype: str = "float32",
-                 tpu_layout: Union[str, bool] = "auto"):
+                 tpu_layout: Union[str, bool] = "auto",
+                 spatial_devices: int = 0):
         self.compute_dtype = compute_dtype
         import jax
+
+        # spatial_devices > 1: shard each image's H axis over that many
+        # devices (parallel/spatial.py — the high-resolution serving mode;
+        # one image's activations spread over the mesh, XLA inserts the
+        # conv halo exchanges). Mutually exclusive with the Pallas kernel
+        # pack, whose custom calls the SPMD partitioner can't split.
+        self.spatial_mesh = None
+        if int(spatial_devices) > 1:
+            from cyclegan_tpu.parallel import spatial as _spatial
+
+            self.spatial_mesh = _spatial.create_spatial_mesh(
+                data=1, spatial=int(spatial_devices)
+            )
+            if tpu_layout is True:
+                raise ValueError(
+                    "spatial_devices and tpu_layout are mutually "
+                    "exclusive (Pallas custom calls are opaque to the "
+                    "SPMD partitioner)"
+                )
+            tpu_layout = False
 
         # tpu_layout: serve the generator through the lane-dense NHCW
         # layout + Pallas kernel pack (the training fast path; see
@@ -111,7 +132,6 @@ class InferenceSession:
 
             use_nhcw = self.tpu_layout
 
-            @jax.jit
             def fwd(params, model_state, x):
                 from cyclegan_tpu.ops import layout as _layout
 
@@ -132,7 +152,22 @@ class InferenceSession:
                     y, _ = model.apply(params, model_state, x, train=False)
                 return denormalize_to_uint8(y.astype(jnp.float32))
 
-            self._fns[key] = fwd
+            if self.spatial_mesh is not None:
+                from cyclegan_tpu.parallel import spatial as _spatial
+
+                _spatial.check_spatial_divisibility(
+                    images.shape[1], self.spatial_mesh
+                )
+                replicated, activation = _spatial.spatial_shardings(
+                    self.spatial_mesh, data_axis=None
+                )
+                self._fns[key] = jax.jit(
+                    fwd,
+                    in_shardings=(replicated, replicated, activation),
+                    out_shardings=activation,
+                )
+            else:
+                self._fns[key] = jax.jit(fwd)
         return np.asarray(
             self._fns[key](
                 self.state.params[name],

@@ -6,5 +6,20 @@ from cyclegan_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from cyclegan_tpu.parallel.spatial import (
+    create_spatial_mesh,
+    make_spatial_forward,
+    shard_spatial,
+    spatial_shardings,
+)
 
-__all__ = ["create_mesh", "create_mesh_2d", "shard_batch", "replicate"]
+__all__ = [
+    "create_mesh",
+    "create_mesh_2d",
+    "shard_batch",
+    "replicate",
+    "create_spatial_mesh",
+    "make_spatial_forward",
+    "shard_spatial",
+    "spatial_shardings",
+]

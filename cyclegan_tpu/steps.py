@@ -326,12 +326,22 @@ def _forward_losses(
     return surrogate, metrics, new_model_state
 
 
-def _batch_shardings(mesh, axis: str):
-    """(replicated, batch-sharded) NamedShardings for a 1-D data mesh."""
+def _batch_shardings(mesh, axis: str, spatial_axis: Optional[str] = None):
+    """(replicated, batch-sharded) NamedShardings for the data mesh.
+
+    With ``spatial_axis`` (a 2-D ``(data, spatial)`` mesh from
+    ``parallel.spatial.create_spatial_mesh``), activations additionally
+    shard their H dim (NHWC dim 1) over that axis — the image analog of
+    sequence parallelism; XLA inserts the conv halo exchanges and turns
+    instance-norm's (H, W) reductions into psums (parallel/spatial.py).
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
-    batch = NamedSharding(mesh, P(axis))
+    if spatial_axis is None:
+        batch = NamedSharding(mesh, P(axis))
+    else:
+        batch = NamedSharding(mesh, P(axis, spatial_axis))
     return replicated, batch
 
 
@@ -467,6 +477,7 @@ def make_validate_step(
     preprocess: Optional[Callable] = None,
     mesh=None,
     mesh_axis: str = "data",
+    spatial_axis: Optional[str] = None,
     compute_dtype: str = "float32",
     tpu_layout: bool = False,
     fuse_apps: bool = False,
@@ -503,9 +514,15 @@ def make_validate_step(
         )
         return metrics
 
+    if spatial_axis is not None and tpu_layout:
+        raise ValueError(
+            "spatial_axis and tpu_layout are mutually exclusive: Pallas "
+            "custom calls are opaque to the SPMD partitioner "
+            "(parallel/spatial.py scope note)"
+        )
     if mesh is None:
         return jax.jit(validate_step)
-    replicated, batch = _batch_shardings(mesh, mesh_axis)
+    replicated, batch = _batch_shardings(mesh, mesh_axis, spatial_axis)
     return jax.jit(
         validate_step,
         in_shardings=(replicated, batch, batch),
@@ -522,6 +539,7 @@ def make_train_step(
     preprocess: Optional[Callable] = None,
     mesh=None,
     mesh_axis: str = "data",
+    spatial_axis: Optional[str] = None,
     compute_dtype: str = "float32",
     remat: bool = False,
     paired: bool = False,
@@ -614,9 +632,15 @@ def make_train_step(
         )
 
     donate_argnums = (0,) if donate else ()
+    if spatial_axis is not None and tpu_layout:
+        raise ValueError(
+            "spatial_axis and tpu_layout are mutually exclusive: Pallas "
+            "custom calls are opaque to the SPMD partitioner "
+            "(parallel/spatial.py scope note)"
+        )
     if mesh is None:
         return jax.jit(train_step, donate_argnums=donate_argnums)
-    replicated, batch = _batch_shardings(mesh, mesh_axis)
+    replicated, batch = _batch_shardings(mesh, mesh_axis, spatial_axis)
     return jax.jit(
         train_step,
         donate_argnums=donate_argnums,
@@ -634,6 +658,7 @@ def make_train_multi_step(
     preprocess: Optional[Callable] = None,
     mesh=None,
     mesh_axis: str = "data",
+    spatial_axis: Optional[str] = None,
     compute_dtype: str = "float32",
     remat: bool = False,
     paired: bool = False,
@@ -666,12 +691,19 @@ def make_train_multi_step(
         return jax.lax.scan(body, state, (real_a, real_b))
 
     donate_argnums = (0,) if donate else ()
+    if spatial_axis is not None and tpu_layout:
+        raise ValueError(
+            "spatial_axis and tpu_layout are mutually exclusive: Pallas "
+            "custom calls are opaque to the SPMD partitioner "
+            "(parallel/spatial.py scope note)"
+        )
     if mesh is None:
         return jax.jit(multi_step, donate_argnums=donate_argnums)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
-    batch = NamedSharding(mesh, P(None, mesh_axis))  # (K, B, ...) shard B
+    # (K, B, H, ...): shard B over the data axis, H over spatial if given
+    batch = NamedSharding(mesh, P(None, mesh_axis, spatial_axis))
     return jax.jit(
         multi_step,
         donate_argnums=donate_argnums,

@@ -259,6 +259,29 @@ def test_inference_tpu_layout_mode(trained_model_dir):
         assert np.abs(base - fast).mean() < 4.0
 
 
+def test_inference_spatial_serving(trained_model_dir):
+    """High-res serving mode: each image's H axis sharded over the
+    8-device mesh (parallel/spatial.py) matches single-device output."""
+    base = InferenceSession(trained_model_dir)
+    sp = InferenceSession(trained_model_dir, spatial_devices=8)
+    assert sp.spatial_mesh is not None and not sp.tpu_layout
+    rng = np.random.default_rng(13)
+    batch = rng.integers(0, 256, size=(1, 32, 32, 3), dtype=np.uint8)
+    for direction in ("a2b", "b2a"):
+        a = sp.stylize(batch, direction).astype(int)
+        b = base.stylize(batch, direction).astype(int)
+        # reduction order differs (IN stats psum) -> at most a rounding LSB
+        assert np.abs(a - b).max() <= 1
+    # explicit kernel-pack + spatial is rejected
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        InferenceSession(trained_model_dir, spatial_devices=8,
+                         tpu_layout=True)
+    # indivisible height fails with the clear error, not XLA's
+    with pytest.raises(ValueError, match="not divisible"):
+        sp.stylize(rng.integers(0, 256, size=(1, 20, 20, 3),
+                                dtype=np.uint8))
+
+
 def test_inference_restores_non_adam_checkpoint(tmp_path):
     """Inference never needs optimizer structure: a checkpoint trained with
     rmsprop (different opt_state tree than adam) restores through
