@@ -87,15 +87,17 @@ def make_handler(session, size: int):
     return Handler
 
 
-def serve(model_dir: Path, host: str, port: int, size: int):
+def serve(model_dir: Path, host: str, port: int, size: int,
+          dtype: str = "float32", spatial_devices: int = 0):
     from cyclegan_tpu.apps.inference import InferenceSession
 
-    session = InferenceSession(model_dir)
+    session = InferenceSession(model_dir, compute_dtype=dtype,
+                               spatial_devices=spatial_devices)
     # warm the jit cache so the first request isn't a compile
     session.stylize(np.zeros((1, size, size, 3), np.uint8), "a2b")
     session.stylize(np.zeros((1, size, size, 3), np.uint8), "b2a")
     server = ThreadingHTTPServer((host, port), make_handler(session, size))
-    logger.info("serving on %s:%d (size %d)", host, port, size)
+    logger.info("serving on %s:%d (size %d, %s)", host, port, size, dtype)
     server.serve_forever()
 
 
@@ -110,8 +112,18 @@ def main():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 = MXU serving fast path (on TPU it "
+                        "also enables the NHCW kernel pack via "
+                        "tpu_layout auto)")
+    parser.add_argument("--spatial_devices", type=int, default=0,
+                        help="shard each image's H axis over this many "
+                        "devices (high-resolution serving; "
+                        "parallel/spatial.py)")
     args = parser.parse_args()
-    serve(args.model_dir, args.host, args.port, args.size)
+    serve(args.model_dir, args.host, args.port, args.size,
+          dtype=args.dtype, spatial_devices=args.spatial_devices)
 
 
 if __name__ == "__main__":

@@ -259,6 +259,40 @@ def test_inference_tpu_layout_mode(trained_model_dir):
         assert np.abs(base - fast).mean() < 4.0
 
 
+def test_http_server_spatial_session(trained_model_dir):
+    """The server's --spatial_devices mode round-trips a request with the
+    session's H-sharded forward."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    import cv2
+
+    from cyclegan_tpu.apps.server import make_handler
+
+    session = InferenceSession(trained_model_dir, spatial_devices=8)
+    server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                 make_handler(session, size=16))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(8)
+        bgr = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        ok, png = cv2.imencode(".png", bgr)
+        assert ok
+        request = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stylize?direction=b2a",
+            data=png.tobytes(), method="POST",
+        )
+        with urllib.request.urlopen(request) as response:
+            out = cv2.imdecode(
+                np.frombuffer(response.read(), np.uint8), cv2.IMREAD_COLOR
+            )
+        assert out.shape == (16, 16, 3)
+    finally:
+        server.shutdown()
+
+
 def test_inference_spatial_serving(trained_model_dir):
     """High-res serving mode: each image's H axis sharded over the
     8-device mesh (parallel/spatial.py) matches single-device output."""
