@@ -60,8 +60,13 @@ def create_mesh_2d(
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data",
-                batch_dim: int = 0) -> Any:
+                batch_dim: int = 0,
+                spatial_axis: Optional[str] = None) -> Any:
     """Place host arrays on device, sharded along ``batch_dim`` of every leaf.
+
+    With ``spatial_axis`` (a ``(data, spatial)`` mesh from
+    ``parallel.spatial``), the dim after ``batch_dim`` — the image H axis
+    — additionally shards over that mesh axis (parallel/spatial.py).
 
     Raises ValueError up front when the batch dim does not divide over the
     mesh — XLA's own error for this is cryptic (VERDICT r1, weak #7).
@@ -77,6 +82,8 @@ def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data",
     """
     spec = [None] * (batch_dim + 1)
     spec[batch_dim] = axis_name
+    if spatial_axis is not None:
+        spec.append(spatial_axis)
     sharding = NamedSharding(mesh, P(*spec))
     multiproc = jax.process_count() > 1
     if multiproc:
@@ -95,6 +102,16 @@ def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data",
                 f"({dict(mesh.shape)}); choose a batch_size that is a "
                 f"multiple of the device count"
             )
+        if spatial_axis is not None:
+            ns = int(mesh.shape[spatial_axis])
+            h = x.shape[batch_dim + 1]
+            if h % ns != 0:
+                raise ValueError(
+                    f"image height {h} is not divisible by the spatial "
+                    f"mesh axis size {ns} ({dict(mesh.shape)}); pick a "
+                    "resolution that is a multiple of the spatial device "
+                    "count"
+                )
         if multiproc:
             return jax.make_array_from_process_local_data(
                 sharding, np.asarray(x)

@@ -114,10 +114,26 @@ class CycleGan:
         # running on a real TPU backend with bf16 compute (the benchmarked
         # product path), OFF on CPU/GPU (where the interpreter would be
         # slower than XLA's native lowering).
+        # Spatial partitioning: a mesh carrying a >1 'spatial' axis shards
+        # each image's H dim over it (parallel/spatial.py — high-res
+        # training where activations exceed one chip). Excludes the Pallas
+        # kernel pack, whose custom calls the SPMD partitioner can't split.
+        self.spatial_axis = (
+            "spatial"
+            if mesh is not None and int(mesh.shape.get("spatial", 1)) > 1
+            else None
+        )
         tpu_layout = train_config.get("tpu_layout", "auto")
         if isinstance(tpu_layout, str) and tpu_layout.lower() == "auto":
             tpu_layout = (jax.default_backend() == "tpu"
-                          and self.compute_dtype == "bfloat16")
+                          and self.compute_dtype == "bfloat16"
+                          and self.spatial_axis is None)
+        if self.spatial_axis is not None and tpu_layout:
+            raise ValueError(
+                "tpu_layout: true cannot combine with a spatial mesh "
+                "(Pallas custom calls are opaque to the SPMD partitioner); "
+                "leave tpu_layout at auto/false for spatial training"
+            )
         self.tpu_layout = bool(tpu_layout)
         if self.tpu_layout:
             from cyclegan_tpu.ops import (
@@ -176,6 +192,7 @@ class CycleGan:
             self.loss_weights,
             preprocess=train_preprocess,
             mesh=mesh,
+            spatial_axis=self.spatial_axis,
             compute_dtype=self.compute_dtype,
             remat=self.remat,
             tpu_layout=self.tpu_layout,
@@ -192,6 +209,7 @@ class CycleGan:
                 self.loss_weights,
                 preprocess=train_preprocess,
                 mesh=mesh,
+                spatial_axis=self.spatial_axis,
                 compute_dtype=self.compute_dtype,
                 remat=self.remat,
                 tpu_layout=self.tpu_layout,
@@ -203,6 +221,7 @@ class CycleGan:
             self.loss_weights,
             preprocess=prepare_eval_batch,
             mesh=mesh,
+            spatial_axis=self.spatial_axis,
             compute_dtype=self.compute_dtype,
             tpu_layout=self.tpu_layout,
             fuse_apps=self.fuse_apps,
@@ -228,9 +247,22 @@ class CycleGan:
         if self.mesh is not None:
             # batch_size is the PER-HOST feed; on a single process that is
             # the global batch. shard_batch re-checks per put, this is the
-            # fail-fast with the actionable message.
-            local = (self.mesh.local_mesh.devices.size
-                     if jax.process_count() > 1 else self.mesh.devices.size)
+            # fail-fast with the actionable message. Only the 'data' axis
+            # shards the batch dim — a spatial axis shards H instead.
+            if self.spatial_axis is not None:
+                local = int(self.mesh.shape.get("data", 1))
+                from cyclegan_tpu.parallel.spatial import (
+                    check_spatial_divisibility,
+                )
+
+                check_spatial_divisibility(
+                    int(self.train_config.image_size), self.mesh,
+                    self.spatial_axis,
+                )
+            else:
+                local = (self.mesh.local_mesh.devices.size
+                         if jax.process_count() > 1
+                         else self.mesh.devices.size)
             if batch_size % local != 0:
                 raise ValueError(
                     f"batch_size {batch_size} is not divisible by the mesh's "
@@ -449,7 +481,8 @@ class CycleGan:
             # (K, B, ...) — shard B; handles host-local -> global assembly
             # on multi-process pods too.
             stack_a, stack_b = shard_batch(
-                self.mesh, (stack_a, stack_b), batch_dim=1
+                self.mesh, (stack_a, stack_b), batch_dim=1,
+                spatial_axis=self.spatial_axis,
             )
         self.state, stacked = self.multi_step_fn(
             self.state, jnp.asarray(stack_a), jnp.asarray(stack_b)
@@ -459,7 +492,8 @@ class CycleGan:
     def _put(self, images_a, images_b):
         if self.mesh is None:
             return jnp.asarray(images_a), jnp.asarray(images_b)
-        return shard_batch(self.mesh, (images_a, images_b))
+        return shard_batch(self.mesh, (images_a, images_b),
+                           spatial_axis=self.spatial_axis)
 
     # ------------------------------------------------------------------
     # checkpointing (reference: cyclegan/model.py:304-362)

@@ -120,6 +120,24 @@ def test_train_cli_streaming_loader(tmp_path, monkeypatch):
     assert (out / "checkpoint.npz").exists()
 
 
+def test_train_cli_spatial_devices(tmp_path, monkeypatch):
+    """--spatial_devices N trains on a (data, spatial) mesh: batch over
+    the data axis, each image's H over the spatial axis
+    (parallel/spatial.py)."""
+    import train as train_cli
+
+    data_dir = _make_records(tmp_path)
+    mc, tc = _write_configs(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--model_config", str(mc), "--train_config", str(tc),
+        "--data_dir", str(data_dir), "--num_devices", "8",
+        "--spatial_devices", "4",
+    ])
+    train_cli.main()
+    out = tmp_path / "model_instances" / "cli_smoke"
+    assert (out / "checkpoint.npz").exists()
+
+
 def test_train_cli_unknown_loader_raises(tmp_path, monkeypatch):
     import train as train_cli
 

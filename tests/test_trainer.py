@@ -185,6 +185,28 @@ def test_trainer_with_mesh_runs(tmp_path):
     assert (tmp_path / "tiny" / CHECKPOINT_FILE).exists()
 
 
+def test_trainer_with_spatial_mesh_runs(tmp_path):
+    """End-to-end training epoch on a 2x4 data x spatial mesh (batch over
+    'data', image H over 'spatial' — parallel/spatial.py), including the
+    steps_per_call scan path and checkpointing."""
+    from cyclegan_tpu.parallel import create_spatial_mesh
+
+    mesh = create_spatial_mesh(data=2, spatial=4)
+    cfg = tiny_train_config(epochs=1, batch_size=2)
+    cfg.steps_per_call = 2
+    gan = CycleGan(tiny_model_config(tmp_path), cfg, mesh=mesh)
+    assert gan.spatial_axis == "spatial" and not gan.tpu_layout
+    train_ds, val_ds = tiny_dataset()
+    gan.train(train_ds, val_ds)
+    assert (tmp_path / "tiny" / CHECKPOINT_FILE).exists()
+
+    # tpu_layout: true is rejected on a spatial mesh
+    bad = tiny_train_config(epochs=1, batch_size=2)
+    bad.tpu_layout = True
+    with pytest.raises(ValueError, match="spatial"):
+        CycleGan(tiny_model_config(tmp_path, new=True), bad, mesh=mesh)
+
+
 def test_trainer_steps_per_call(tmp_path):
     """Multi-step dispatch path trains and checkpoints like the default."""
     cfg = tiny_train_config(epochs=1, batch_size=2)

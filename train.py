@@ -51,6 +51,14 @@ def parse_arguments():
         default=-1,
         help="Devices in the data-parallel mesh (-1 = all devices).",
     )
+    parser.add_argument(
+        "--spatial_devices",
+        type=int,
+        default=1,
+        help="Shard each image's H axis over this many devices (the "
+        "image analog of sequence parallelism, parallel/spatial.py); "
+        "the remaining num_devices/spatial_devices stay data-parallel.",
+    )
     # Multi-process pod launch (one process per host, same command on
     # every host): --distributed alone auto-detects coordinator/process
     # topology from the TPU pod metadata (jax.distributed.initialize with
@@ -94,8 +102,25 @@ def main():
     training_config = yaml2namespace(args.train_config)
 
     num_devices = args.num_devices if args.num_devices > 0 else len(jax.devices())
-    mesh = create_mesh(num_devices)
-    logger.info("devices: %s (mesh size %d)", jax.devices(), num_devices)
+    if args.spatial_devices > 1:
+        from cyclegan_tpu.parallel import create_spatial_mesh
+
+        if num_devices % args.spatial_devices != 0:
+            raise SystemExit(
+                f"--num_devices {num_devices} must be a multiple of "
+                f"--spatial_devices {args.spatial_devices}"
+            )
+        mesh = create_spatial_mesh(
+            data=num_devices // args.spatial_devices,
+            spatial=args.spatial_devices,
+        )
+        logger.info(
+            "devices: %s (%dx%d data x spatial mesh)", jax.devices(),
+            num_devices // args.spatial_devices, args.spatial_devices,
+        )
+    else:
+        mesh = create_mesh(num_devices)
+        logger.info("devices: %s (mesh size %d)", jax.devices(), num_devices)
 
     gan = CycleGan(model_config, training_config, mesh=mesh)
 
