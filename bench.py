@@ -203,17 +203,9 @@ def main():
     use_kernels = args.layout == "nhcw" and not args.no_pallas_kernels \
         and not args.paired
     if use_kernels:
-        from cyclegan_tpu.ops import (
-            pallas_concat,
-            pallas_conv,
-            pallas_norm_act,
-            pallas_resize,
-        )
+        from cyclegan_tpu.ops import enable_kernel_pack
 
-        pallas_conv.enable(True)
-        pallas_resize.enable(True)
-        pallas_norm_act.enable(True)
-        pallas_concat.enable(True)
+        enable_kernel_pack(True)
 
     train_step, state, real_a, real_b, n_devices = build_step(
         args.batch, args.image_size, args.dtype, args.model_config,

@@ -74,18 +74,9 @@ class InferenceSession:
                           and compute_dtype == "bfloat16")
         self.tpu_layout = bool(tpu_layout)
         if self.tpu_layout:
-            from cyclegan_tpu.ops import (
-                pallas_concat,
-                pallas_conv,
-                pallas_norm_act,
-                pallas_resize,
-            )
+            from cyclegan_tpu.ops import enable_kernel_pack
 
-            for mod in (pallas_conv, pallas_resize, pallas_norm_act,
-                        pallas_concat):
-                mod.enable(True)
-                if jax.default_backend() != "tpu":
-                    mod.set_interpret(True)
+            enable_kernel_pack(True)
 
         model_dir = Path(model_dir)
         config_path = model_dir / "model_config.yaml"

@@ -18,8 +18,34 @@ from cyclegan_tpu.ops.resize import (
     upsample_nearest_2x,
 )
 
+def enable_kernel_pack(enabled: bool = True, interpret=None) -> None:
+    """Toggle the NHCW Pallas kernel pack (conv/resize/norm-act/concat)
+    in one place — the single switch behind ``tpu_layout`` in the trainer,
+    ``InferenceSession``, and the benches.
+
+    ``interpret=None`` auto-selects the Pallas interpreter when the
+    backend is not TPU, so the layout path stays testable on CPU/CI.
+    """
+    import jax
+
+    from cyclegan_tpu.ops import (
+        pallas_concat,
+        pallas_conv,
+        pallas_norm_act,
+        pallas_resize,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    for mod in (pallas_conv, pallas_resize, pallas_norm_act, pallas_concat):
+        mod.enable(enabled)
+        if enabled:
+            mod.set_interpret(bool(interpret))
+
+
 __all__ = [
     "apply_activation",
+    "enable_kernel_pack",
     "concat_channels",
     "layout",
     "leaky_relu",

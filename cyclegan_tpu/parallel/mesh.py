@@ -93,6 +93,26 @@ def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data",
     else:
         n = int(mesh.shape[axis_name])
         scope = "mesh size"
+    if multiproc and spatial_axis is not None:
+        # The spatial axis must live entirely within each process: every
+        # host feeds FULL-HEIGHT images, so if the spatial axis crossed
+        # hosts, make_array_from_process_local_data would scale the global
+        # H up and silently stack different hosts' images row-wise into
+        # one corrupted frankenimage. Keep cross-host parallelism on the
+        # 'data' axis (create_spatial_mesh lays spatial innermost, which
+        # keeps it intra-host for standard device orders — this guard
+        # catches every other layout).
+        local_s = int(mesh.local_mesh.shape.get(spatial_axis, 1))
+        global_s = int(mesh.shape[spatial_axis])
+        if local_s != global_s:
+            raise ValueError(
+                f"spatial axis {spatial_axis!r} spans processes (this host "
+                f"holds {local_s} of its {global_s} devices); each host "
+                "feeds full-height images, so a cross-host spatial axis "
+                "would assemble corrupted global batches. Keep the "
+                "spatial axis within one host and put the cross-host "
+                "axis on 'data'."
+            )
 
     def check_and_put(x):
         if x.shape[batch_dim] % n != 0:
@@ -103,15 +123,13 @@ def shard_batch(mesh: Mesh, tree: Any, axis_name: str = "data",
                 f"multiple of the device count"
             )
         if spatial_axis is not None:
-            ns = int(mesh.shape[spatial_axis])
-            h = x.shape[batch_dim + 1]
-            if h % ns != 0:
-                raise ValueError(
-                    f"image height {h} is not divisible by the spatial "
-                    f"mesh axis size {ns} ({dict(mesh.shape)}); pick a "
-                    "resolution that is a multiple of the spatial device "
-                    "count"
-                )
+            from cyclegan_tpu.parallel.spatial import (
+                check_spatial_divisibility,
+            )
+
+            check_spatial_divisibility(
+                x.shape[batch_dim + 1], mesh, spatial_axis
+            )
         if multiproc:
             return jax.make_array_from_process_local_data(
                 sharding, np.asarray(x)

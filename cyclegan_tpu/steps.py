@@ -326,6 +326,21 @@ def _forward_losses(
     return surrogate, metrics, new_model_state
 
 
+def _check_spatial_kernel_exclusion(
+    spatial_axis: Optional[str], tpu_layout: bool
+) -> None:
+    """Single validator for the one structural constraint every step
+    builder shares: the NHCW Pallas kernel pack cannot run under spatial
+    sharding (Pallas custom calls are opaque to the SPMD partitioner —
+    parallel/spatial.py scope note)."""
+    if spatial_axis is not None and tpu_layout:
+        raise ValueError(
+            "spatial_axis and tpu_layout are mutually exclusive: Pallas "
+            "custom calls are opaque to the SPMD partitioner "
+            "(parallel/spatial.py scope note)"
+        )
+
+
 def _batch_shardings(mesh, axis: str, spatial_axis: Optional[str] = None):
     """(replicated, batch-sharded) NamedShardings for the data mesh.
 
@@ -514,12 +529,7 @@ def make_validate_step(
         )
         return metrics
 
-    if spatial_axis is not None and tpu_layout:
-        raise ValueError(
-            "spatial_axis and tpu_layout are mutually exclusive: Pallas "
-            "custom calls are opaque to the SPMD partitioner "
-            "(parallel/spatial.py scope note)"
-        )
+    _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
     if mesh is None:
         return jax.jit(validate_step)
     replicated, batch = _batch_shardings(mesh, mesh_axis, spatial_axis)
@@ -632,12 +642,7 @@ def make_train_step(
         )
 
     donate_argnums = (0,) if donate else ()
-    if spatial_axis is not None and tpu_layout:
-        raise ValueError(
-            "spatial_axis and tpu_layout are mutually exclusive: Pallas "
-            "custom calls are opaque to the SPMD partitioner "
-            "(parallel/spatial.py scope note)"
-        )
+    _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
     if mesh is None:
         return jax.jit(train_step, donate_argnums=donate_argnums)
     replicated, batch = _batch_shardings(mesh, mesh_axis, spatial_axis)
@@ -691,12 +696,7 @@ def make_train_multi_step(
         return jax.lax.scan(body, state, (real_a, real_b))
 
     donate_argnums = (0,) if donate else ()
-    if spatial_axis is not None and tpu_layout:
-        raise ValueError(
-            "spatial_axis and tpu_layout are mutually exclusive: Pallas "
-            "custom calls are opaque to the SPMD partitioner "
-            "(parallel/spatial.py scope note)"
-        )
+    _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
     if mesh is None:
         return jax.jit(multi_step, donate_argnums=donate_argnums)
     from jax.sharding import NamedSharding, PartitionSpec as P

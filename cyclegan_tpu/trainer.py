@@ -136,24 +136,9 @@ class CycleGan:
             )
         self.tpu_layout = bool(tpu_layout)
         if self.tpu_layout:
-            from cyclegan_tpu.ops import (
-                pallas_concat,
-                pallas_conv,
-                pallas_norm_act,
-                pallas_resize,
-            )
+            from cyclegan_tpu.ops import enable_kernel_pack
 
-            pallas_conv.enable(True)
-            pallas_resize.enable(True)
-            pallas_norm_act.enable(True)
-            pallas_concat.enable(True)
-            if jax.default_backend() != "tpu":
-                # CPU/CI: run the kernels through the Pallas interpreter
-                # so the layout path stays testable off-TPU
-                pallas_conv.set_interpret(True)
-                pallas_resize.set_interpret(True)
-                pallas_norm_act.set_interpret(True)
-                pallas_concat.set_interpret(True)
+            enable_kernel_pack(True)
 
         self.models = {
             "g_AB": create_model(model_config.generator),
@@ -250,7 +235,11 @@ class CycleGan:
             # fail-fast with the actionable message. Only the 'data' axis
             # shards the batch dim — a spatial axis shards H instead.
             if self.spatial_axis is not None:
-                local = int(self.mesh.shape.get("data", 1))
+                # per-host data-axis size on pods, like the non-spatial
+                # branch — batch_size is the PER-HOST feed
+                m = (self.mesh.local_mesh if jax.process_count() > 1
+                     else self.mesh)
+                local = int(m.shape.get("data", 1))
                 from cyclegan_tpu.parallel.spatial import (
                     check_spatial_divisibility,
                 )
@@ -402,9 +391,20 @@ class CycleGan:
         if jax.process_count() > 1:
             # params are fully replicated global arrays; pull the host-local
             # copy so this stays a per-host (addressable-devices) jit
-            # instead of a collective every host would have to join.
-            params = jax.device_get(params)
-            model_state = jax.device_get(model_state)
+            # instead of a collective every host would have to join. The
+            # whole-model fetch is cached per optimizer step — write_images
+            # calls predict twice per epoch on the same state.
+            step = int(jax.device_get(self.state.step))
+            cached = getattr(self, "_predict_host_state", None)
+            if cached is None or cached[0] != step:
+                cached = (
+                    step,
+                    jax.device_get(self.state.params),
+                    jax.device_get(self.state.model_state),
+                )
+                self._predict_host_state = cached
+            params = cached[1][name]
+            model_state = cached[2][name]
         key = (name, images.shape, str(images.dtype))
         if key not in self._predict_fns:
             model = self.models[name]

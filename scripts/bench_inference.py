@@ -46,15 +46,9 @@ def main():
     cdtype = jnp.dtype(args.dtype)
 
     if args.tpu_layout:
-        from cyclegan_tpu.ops import (
-            pallas_concat, pallas_conv, pallas_norm_act, pallas_resize,
-        )
+        from cyclegan_tpu.ops import enable_kernel_pack
 
-        for mod in (pallas_conv, pallas_resize, pallas_norm_act,
-                    pallas_concat):
-            mod.enable(True)
-            if jax.default_backend() != "tpu":
-                mod.set_interpret(True)
+        enable_kernel_pack(True)
 
     @jax.jit
     def stylize(params, x):

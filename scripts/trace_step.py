@@ -88,11 +88,13 @@ def group_key(name: str, category: str = "") -> str:
     n = name.lower()
     # Wrappers nest (e.g. ``transpose_jvp_transpose_jvp_jvp______``): keep
     # stripping until none match, or backward Pallas custom-calls land in a
-    # bogus "transpose" bucket.
+    # bogus "transpose" bucket. Leading underscores are NOT stripped — the
+    # kernel_fns patterns below start with '_' and substring matching
+    # already tolerates leftover wrapper underscores.
     stripped = True
     while stripped:
         stripped = False
-        for pref in ("transpose_jvp_", "jvp_", "_"):
+        for pref in ("transpose_jvp_", "jvp_"):
             if n.startswith(pref):
                 n = n[len(pref):]
                 stripped = True

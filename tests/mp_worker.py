@@ -80,6 +80,27 @@ def main() -> int:
                           process_index=pid, process_count=nproc)
     gan.train(train_ds, val_ds)
 
+    # Spatial-axis process locality (mesh.shard_batch guard): a spatial
+    # axis spanning hosts must raise — each host feeds FULL-HEIGHT images,
+    # so cross-host H assembly would silently corrupt the global batch —
+    # while the standard layout (cross-host 'data', intra-host 'spatial')
+    # must assemble fine.
+    from cyclegan_tpu.parallel import shard_batch
+    from cyclegan_tpu.parallel.spatial import create_spatial_mesh
+
+    x = np.zeros((1, 16, 16, 3), np.float32)
+    spanning = create_spatial_mesh(data=1, spatial=2 * nproc)
+    try:
+        shard_batch(spanning, x, spatial_axis="spatial")
+    except ValueError as exc:
+        assert "spans processes" in str(exc), exc
+    else:
+        raise AssertionError("cross-host spatial axis must be rejected")
+    intra = create_spatial_mesh(data=nproc, spatial=2)
+    g = shard_batch(intra, x, spatial_axis="spatial")
+    assert g.shape == (nproc, 16, 16, 3), g.shape  # data axis spans hosts
+    print(f"MP_SPATIAL_OK pid={pid}", flush=True)
+
     ckpt = os.path.join(workdir, "tiny", CHECKPOINT_FILE)
     if pid == 0:
         assert os.path.exists(ckpt), "lead process must write the checkpoint"

@@ -73,6 +73,7 @@ def test_two_process_pod_matches_single_process(tmp_path):
         assert rc == 0, f"worker failed:\n{out[-4000:]}"
         match = re.search(r"MP_OK pid=(\d+) step=(\d+) params_sq=(\S+)", out)
         assert match, f"no MP_OK marker:\n{out[-4000:]}"
+        assert "MP_SPATIAL_OK" in out, f"spatial guard not exercised:\n{out[-4000:]}"
         digests.append((int(match.group(2)), float(match.group(3))))
 
     # both hosts hold the same replicated state
