@@ -98,7 +98,7 @@ def _upsample_consumer_pallas(x, channels: int, skip_channels: int) -> bool:
     if not layout.is_nhcw():
         return False
     if pallas_concat.is_enabled() and pallas_concat.up_profitable(
-        x.shape[1], x.shape[3], skip_channels, channels
+        x.shape[3], skip_channels, channels
     ):
         return True
     return pallas_resize.is_enabled() and pallas_resize.upsample_profitable(

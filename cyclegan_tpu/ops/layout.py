@@ -78,7 +78,7 @@ def concat_channels(xs) -> jnp.ndarray:
             and a.dtype == jnp.bfloat16
             and b.dtype == jnp.bfloat16
             and a.ndim == 4
-            and pallas_concat.profitable(a.shape[1], a.shape[3],
+            and pallas_concat.profitable(a.shape[3],
                                          a.shape[2], b.shape[2])
         ):
             return pallas_concat.concat2_nhcw(a, b)

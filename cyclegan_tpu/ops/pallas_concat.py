@@ -29,6 +29,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# shared 0/1 lane-duplication / pair-sum MXU-contraction builders
+from cyclegan_tpu.ops.pallas_resize import (
+    _interleave_matrix,
+    _pair_sum_matrix,
+)
+
 _ENABLED = False
 _INTERPRET = False
 
@@ -47,8 +53,9 @@ def set_interpret(on: bool) -> None:
     _INTERPRET = on
 
 
-def profitable(height: int, width: int, c1: int, c2: int) -> bool:
-    """Both pieces sublane-tile aligned (bf16: 16), lane-aligned W."""
+def profitable(width: int, c1: int, c2: int) -> bool:
+    """Both pieces sublane-tile aligned (bf16: 16), lane-aligned W.
+    H is unconstrained (the grid chunks any H)."""
     return width % 128 == 0 and c1 % 16 == 0 and c2 % 16 == 0
 
 
@@ -167,49 +174,67 @@ concat2_nhcw.defvjp(_concat2_fwd, _concat2_bwd)
 # ---------------------------------------------------------------------------
 
 
-def up_profitable(height: int, width: int, c1: int, c2: int) -> bool:
-    """skip is [B, 2*height, c1, 2*width]; x is [B, height, c2, width]."""
+def up_profitable(width: int, c1: int, c2: int) -> bool:
+    """skip is [B, 2h, c1, 2*width]; x is [B, h, c2, width]. H is
+    unconstrained (the grid walks x's rows)."""
     return (
         width % 64 == 0 and c1 % 16 == 0 and c2 % 16 == 0
     )
 
 
-def _interleave_matrix(w: int) -> jnp.ndarray:
-    """E[w, 2w] with E[j, 2j] = E[j, 2j+1] = 1: lane duplication."""
-    j = jnp.arange(w)[:, None]
-    i = jnp.arange(2 * w)[None, :]
-    return (i // 2 == j).astype(jnp.float32)
+def _up_chunk(h: int, width: int, c1: int, c2: int, itemsize: int) -> int:
+    """x-rows per grid step. One x-row costs (2*c1 + c2 + 2*(c1+c2)) * 2w
+    output-side elements of traffic; target ~2 MB per step so the DMA
+    blocks are big enough to pipeline (the original 1-x-row steps left
+    the junction kernels at 1.7-2.4x of the HBM roofline — grid-step
+    overhead, not bandwidth)."""
+    import os
+
+    target_bytes = int(os.environ.get("PALLAS_UP_CHUNK", 2 * 1024 * 1024))
+    per_row = (2 * c1 + c2 + 2 * (c1 + c2)) * 2 * width * itemsize
+    target = max(1, target_bytes // max(per_row, 1))
+    for cand in range(min(target, h), 0, -1):
+        if h % cand == 0:
+            return cand
+    return 1
 
 
-def _pair_sum_matrix(w2: int) -> jnp.ndarray:
-    """P[w2, w2/2] with P[2j, j] = P[2j+1, j] = 1: lane-pair summation."""
-    i = jnp.arange(w2)[:, None]
-    j = jnp.arange(w2 // 2)[None, :]
-    return (i // 2 == j).astype(jnp.float32)
+def _concat_up2_kernel(skip_ref, x_ref, e_ref, out_ref, *, C1, C2, CH):
+    from jax import lax
+
+    def body(i, _):
+        xr = x_ref[0, pl.ds(i, 1), :, :].astype(jnp.float32)[0]
+        wide = jax.lax.dot_general(
+            xr, e_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+        out_ref[0, pl.ds(2 * i, 2), :C1, :] = skip_ref[0, pl.ds(2 * i, 2),
+                                                       :, :]
+        out_ref[0, pl.ds(2 * i, 2), C1:, :] = jnp.broadcast_to(
+            wide[None], (2,) + wide.shape
+        )
+        return 0
+
+    lax.fori_loop(0, CH, body, 0)
 
 
-def _concat_up2_kernel(skip_ref, x_ref, e_ref, out_ref, *, C1):
-    wide = jax.lax.dot_general(
-        x_ref[0, 0, :, :].astype(jnp.float32), e_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
-    for r in range(2):
-        out_ref[0, r, :C1, :] = skip_ref[0, r, :, :]
-        out_ref[0, r, C1:, :] = wide
+def _split_pool2_kernel(g_ref, p_ref, dskip_ref, dx_ref, *, C1, CH):
+    from jax import lax
 
+    def body(i, _):
+        pair = g_ref[0, pl.ds(2 * i, 2), :, :]
+        dskip_ref[0, pl.ds(2 * i, 2), :, :] = pair[:, :C1, :]
+        rows = jnp.sum(pair[:, C1:, :].astype(jnp.float32), axis=0)
+        dx = jax.lax.dot_general(
+            rows, p_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dx_ref.dtype)
+        dx_ref[0, pl.ds(i, 1), :, :] = dx[None]
+        return 0
 
-def _split_pool2_kernel(g_ref, p_ref, dskip_ref, dx_ref, *, C1):
-    rows = None
-    for r in range(2):
-        dskip_ref[0, r, :, :] = g_ref[0, r, :C1, :]
-        part = g_ref[0, r, C1:, :].astype(jnp.float32)
-        rows = part if rows is None else rows + part
-    dx_ref[0, 0, :, :] = jax.lax.dot_general(
-        rows, p_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dx_ref.dtype)
+    lax.fori_loop(0, CH, body, 0)
 
 
 @jax.custom_vjp
@@ -223,20 +248,22 @@ def _concat_up2_impl(skip, x):
     B, H, C1, W = skip.shape
     h, C2, w = x.shape[1], x.shape[2], x.shape[3]
     C = C1 + C2
-    grid = (B, h)
-    e = _interleave_matrix(w)
+    CH = _up_chunk(h, w, C1, C2, skip.dtype.itemsize)
+    grid = (B, h // CH)
+    e = _interleave_matrix(w, jnp.float32)
     return pl.pallas_call(
-        functools.partial(_concat_up2_kernel, C1=C1),
+        functools.partial(_concat_up2_kernel, C1=C1, C2=C2, CH=CH),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, C1, W), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, 2 * CH, C1, W), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C2, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, CH, C2, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w, W), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, C, W), lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 2 * CH, C, W),
+                               lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, C, W), skip.dtype),
         interpret=_INTERPRET,
@@ -253,21 +280,22 @@ def _split_pool2(g, C1, c2_dtype):
     B, H, C, W = g.shape
     C2 = C - C1
     h, w = H // 2, W // 2
-    grid = (B, h)
-    p = _pair_sum_matrix(W)
+    CH = _up_chunk(h, w, C1, C2, g.dtype.itemsize)
+    grid = (B, h // CH)
+    p = _pair_sum_matrix(W, jnp.float32)
     return pl.pallas_call(
-        functools.partial(_split_pool2_kernel, C1=C1),
+        functools.partial(_split_pool2_kernel, C1=C1, CH=CH),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, C, W), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, 2 * CH, C, W), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((W, w), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 2, C1, W), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, 2 * CH, C1, W), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C2, w), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, CH, C2, w), lambda bi, i: (bi, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[

@@ -172,10 +172,12 @@ def _bwd_kernel(x_ref, gz_ref, g_ref, b_ref, mu_ref, rstd_ref,
     t2_ref[0, :, :] = t2
 
 
-def _scalars(p: Optional[jnp.ndarray], C: int) -> jnp.ndarray:
-    """Per-channel parameter -> [C, 1] f32 (ones/zeros when absent)."""
+def _scalars(p: Optional[jnp.ndarray], C: int, fill: float) -> jnp.ndarray:
+    """Per-channel parameter -> [C, 1] f32 (``fill`` when absent:
+    1 for a missing gamma, 0 for a missing beta — the non-affine
+    identity, matching ops.norm.instance_norm)."""
     if p is None:
-        return jnp.ones((C, 1), jnp.float32)
+        return jnp.full((C, 1), fill, jnp.float32)
     return p.astype(jnp.float32).reshape(C, 1)
 
 
@@ -218,7 +220,7 @@ def _run_fwd(x, gamma, beta, eps, act, alpha):
             flops=8 * B * H * C * W, bytes_accessed=bytes_t,
             transcendentals=B * C,
         ),
-    )(x, _scalars(gamma, C), _scalars(beta, C))
+    )(x, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0))
     return z, mu, rstd
 
 
@@ -265,7 +267,7 @@ def _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
             flops=16 * B * H * C * W, bytes_accessed=bytes_t,
             transcendentals=0,
         ),
-    )(x, gz, _scalars(gamma, C), _scalars(beta, C), mu, rstd)
+    )(x, gz, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0), mu, rstd)
     return dx, t1, t2
 
 

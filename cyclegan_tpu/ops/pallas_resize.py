@@ -20,8 +20,9 @@ lane patterns to vector shuffles). f32 accumulation for the pool sum.
 
 Dispatch: ``ops.pool.avg_pool2x2`` / ``ops.resize.upsample_nearest_2x``
 route here under the NHCW layout when `enable()`d and the shape is
-lane/sublane aligned (W%256==0 for pool input so W/2 stays a lane
-multiple; W%128==0 for upsample input).
+lane/sublane aligned (W%128==0 for both pool and upsample input — the
+pool's W/2 output may land at 64 lanes; Mosaic masks the partial minor
+tile, see pool_profitable).
 """
 
 from __future__ import annotations

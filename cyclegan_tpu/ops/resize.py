@@ -59,7 +59,7 @@ def upsample_concat(skip: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
             and skip.ndim == 4
             and skip.shape[1] == 2 * x.shape[1]
             and skip.shape[3] == 2 * x.shape[3]
-            and pallas_concat.up_profitable(x.shape[1], x.shape[3],
+            and pallas_concat.up_profitable(x.shape[3],
                                             skip.shape[2], x.shape[2])
         ):
             return pallas_concat.concat_up2_nhcw(skip, x)

@@ -75,10 +75,10 @@ def test_layout_dispatch_gate():
 
 
 def test_profitable_gate():
-    assert pallas_concat.profitable(8, 128, 16, 32)
-    assert not pallas_concat.profitable(8, 100, 16, 32)  # W not lane-aligned
-    assert not pallas_concat.profitable(8, 128, 8, 32)   # C1 sub-tile
-    assert not pallas_concat.profitable(8, 128, 16, 24)  # C2 sub-tile
+    assert pallas_concat.profitable(128, 16, 32)
+    assert not pallas_concat.profitable(100, 16, 32)  # W not lane-aligned
+    assert not pallas_concat.profitable(128, 8, 32)   # C1 sub-tile
+    assert not pallas_concat.profitable(128, 16, 24)  # C2 sub-tile
 
 
 @pytest.mark.parametrize("c1,c2,h,w", [(16, 32, 4, 128), (32, 64, 4, 64),

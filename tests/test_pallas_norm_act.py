@@ -66,6 +66,29 @@ def test_forward_and_vjp_match(act, c, w):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("act", ["relu", "none"])
+def test_absent_affine_params_match_nonaffine_norm(act):
+    """gamma/beta=None must mean the NON-AFFINE identity (gamma=1,
+    beta=0), matching ops.norm.instance_norm — a missing beta once
+    injected a +1 bias (ones fill), which also flipped relu's backward
+    mask."""
+    h, c, w = 8, 16, 128
+    x = _rand((2, h, c, w), seed=9)
+    ct = _rand((2, h, c, w), seed=10)
+
+    ref_out, ref_vjp = jax.vjp(lambda x: _ref(x, None, None, act), x)
+    got_out, got_vjp = jax.vjp(
+        lambda x: pallas_norm_act.instance_norm_act(x, None, None,
+                                                    1e-3, act),
+        x,
+    )
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_vjp(ct)[0]),
+                               np.asarray(ref_vjp(ct)[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_bf16_storage_f32_stats():
     x = _rand((2, 4, 16, 128), seed=5, dtype=jnp.bfloat16)
     gamma = jnp.ones((16,), jnp.float32)
