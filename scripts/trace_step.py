@@ -3,7 +3,10 @@ per-op time attribution (top fusions/custom-calls, grouped).
 
 Usage:
     PYTHONPATH=/root/repo:$PYTHONPATH python scripts/trace_step.py \
-        [--nhcw] [--pallas-conv] [--out /tmp/trace_nhcw]
+        --pack [--out /tmp/trace_pack]   # the shipped bench.py path
+
+``--pack`` = NHCW + full kernel pack; the per-family flags
+(--pallas-conv etc.) exist for ablation traces only.
 
 Parses the TensorBoard trace (trace.json.gz) directly -- no TensorBoard
 needed. Groups XLA ops by their HLO-name prefix so conv / pallas-kernel /
@@ -128,6 +131,11 @@ def group_key(name: str, category: str = "") -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nhcw", action="store_true")
+    ap.add_argument("--pack", action="store_true",
+                    help="bench.py defaults: --nhcw + the whole kernel "
+                    "pack (conv/resize/norm-act/concat). Tracing with "
+                    "only --pallas-conv attributes XLA fallbacks for "
+                    "the other families, which is NOT the shipped path.")
     ap.add_argument("--pallas-conv", action="store_true")
     ap.add_argument("--pallas-resize", action="store_true")
     ap.add_argument("--pallas-norm-act", action="store_true")
@@ -142,6 +150,12 @@ def main():
     if args.parse_only:
         parse_and_print(args)
         return
+
+    if args.pack:
+        from cyclegan_tpu.ops import enable_kernel_pack
+
+        args.nhcw = True
+        enable_kernel_pack(True)
 
     if args.pallas_conv:
         from cyclegan_tpu.ops import pallas_conv
