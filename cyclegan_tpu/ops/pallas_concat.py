@@ -29,10 +29,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# shared 0/1 lane-duplication / pair-sum MXU-contraction builders
+# shared 0/1 lane-duplication / pair-sum MXU-contraction builders and
+# the common grid-chunk sizing rule (~2 MB of traffic per grid step)
 from cyclegan_tpu.ops.pallas_resize import (
     _interleave_matrix,
     _pair_sum_matrix,
+    chunk_rows,
 )
 
 _ENABLED = False
@@ -61,13 +63,8 @@ def profitable(width: int, c1: int, c2: int) -> bool:
 
 def _chunk_rows(height: int, width: int, channels: int,
                 itemsize: int) -> int:
-    """H-rows per grid step: ~2 MB of total slab traffic per step."""
-    per_row = 2 * channels * width * itemsize
-    target = max(1, 2 * 1024 * 1024 // per_row)
-    for cand in range(min(target, height), 0, -1):
-        if height % cand == 0:
-            return cand
-    return 1
+    """H-rows per grid step (read + write = 2 passes over [C, W] rows)."""
+    return chunk_rows(height, 2 * channels * width * itemsize)
 
 
 def _concat2_kernel(a_ref, b_ref, out_ref, *, R, C1, C2):
@@ -184,19 +181,9 @@ def up_profitable(width: int, c1: int, c2: int) -> bool:
 
 def _up_chunk(h: int, width: int, c1: int, c2: int, itemsize: int) -> int:
     """x-rows per grid step. One x-row costs (2*c1 + c2 + 2*(c1+c2)) * 2w
-    output-side elements of traffic; target ~2 MB per step so the DMA
-    blocks are big enough to pipeline (the original 1-x-row steps left
-    the junction kernels at 1.7-2.4x of the HBM roofline — grid-step
-    overhead, not bandwidth)."""
-    import os
-
-    target_bytes = int(os.environ.get("PALLAS_UP_CHUNK", 2 * 1024 * 1024))
+    output-side elements of traffic (skip read + x read + concat write)."""
     per_row = (2 * c1 + c2 + 2 * (c1 + c2)) * 2 * width * itemsize
-    target = max(1, target_bytes // max(per_row, 1))
-    for cand in range(min(target, h), 0, -1):
-        if h % cand == 0:
-            return cand
-    return 1
+    return chunk_rows(h, per_row)
 
 
 def _concat_up2_kernel(skip_ref, x_ref, e_ref, out_ref, *, C1, C2, CH):

@@ -64,6 +64,22 @@ def upsample_profitable(height: int, width: int, channels: int) -> bool:
     return width % 128 == 0 and channels % 8 == 0
 
 
+def chunk_rows(h: int, per_row_bytes: int) -> int:
+    """Rows per grid step: target ~2 MB of HBM traffic per step
+    (`PALLAS_UP_CHUNK` env override) so the per-step DMA blocks are big
+    enough to pipeline — single-row grid steps left these copy kernels
+    at 1.7-2.4x of the HBM roofline on grid-step overhead. Returns the
+    largest divisor of ``h`` whose traffic stays under the target."""
+    import os
+
+    target_bytes = int(os.environ.get("PALLAS_UP_CHUNK", 2 * 1024 * 1024))
+    target = max(1, target_bytes // max(per_row_bytes, 1))
+    for cand in range(min(target, h), 0, -1):
+        if h % cand == 0:
+            return cand
+    return 1
+
+
 def _pair_sum_matrix(w: int, dtype) -> jnp.ndarray:
     """P[W, W/2] with P[2j, j] = P[2j+1, j] = 1: lane-pair summation as a
     matmul (Mosaic rejects the lane-splitting reshape; a 0/1 MXU contract
@@ -80,16 +96,23 @@ def _interleave_matrix(w: int, dtype) -> jnp.ndarray:
     return (i // 2 == j).astype(dtype)
 
 
-def _sum2x2_kernel(x_ref, p_ref, out_ref, *, scale):
-    # x block [1, 2, C, 2*Wo]; p [W, Wo]; out block [1, 1, C, Wo]
-    rows = x_ref[0, 0, :, :].astype(jnp.float32) + \
-        x_ref[0, 1, :, :].astype(jnp.float32)
-    pairs = jax.lax.dot_general(
-        rows, p_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0, 0, :, :] = (pairs * scale).astype(out_ref.dtype)
+def _sum2x2_kernel(x_ref, p_ref, out_ref, *, scale, CH):
+    # x block [1, 2*CH, C, 2*Wo]; p [W, Wo]; out block [1, CH, C, Wo]
+    from jax import lax
+
+    def body(i, _):
+        pair = x_ref[0, pl.ds(2 * i, 2), :, :].astype(jnp.float32)
+        rows = pair[0] + pair[1]
+        pairs = jax.lax.dot_general(
+            rows, p_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, pl.ds(i, 1), :, :] = \
+            (pairs * scale).astype(out_ref.dtype)[None]
+        return 0
+
+    lax.fori_loop(0, CH, body, 0)
 
 
 def _sum2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
@@ -97,18 +120,19 @@ def _sum2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     (f32 accumulation in-kernel; input stays in its storage dtype)."""
     B, H, C, W = x.shape
     Ho, Wo = H // 2, W // 2
-    grid = (B, Ho)
+    CH = chunk_rows(Ho, C * (2 * W + Wo) * x.dtype.itemsize)
+    grid = (B, Ho // CH)
     p = _pair_sum_matrix(W, jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_sum2x2_kernel, scale=scale),
+        functools.partial(_sum2x2_kernel, scale=scale, CH=CH),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, C, W), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, 2 * CH, C, W), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((W, Wo), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, C, Wo), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, CH, C, Wo), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, C, Wo), x.dtype),
         interpret=_INTERPRET,
@@ -122,36 +146,45 @@ def _sum2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     return out
 
 
-def _dup2x2_kernel(x_ref, e_ref, out_ref, *, scale):
-    # x block [1, 1, C, W]; e [W, 2W]; out block [1, 2, C, 2W]
-    row = x_ref[0, 0, :, :].astype(jnp.float32)
-    if scale != 1.0:
-        row = row * scale
-    wide = jax.lax.dot_general(
-        row, e_ref[:, :],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
-    out_ref[0, 0, :, :] = wide
-    out_ref[0, 1, :, :] = wide
+def _dup2x2_kernel(x_ref, e_ref, out_ref, *, scale, CH):
+    # x block [1, CH, C, W]; e [W, 2W]; out block [1, 2*CH, C, 2W]
+    from jax import lax
+
+    def body(i, _):
+        row = x_ref[0, pl.ds(i, 1), :, :].astype(jnp.float32)[0]
+        if scale != 1.0:
+            row = row * scale
+        wide = jax.lax.dot_general(
+            row, e_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+        out_ref[0, pl.ds(2 * i, 2), :, :] = jnp.broadcast_to(
+            wide[None], (2,) + wide.shape
+        )
+        return 0
+
+    lax.fori_loop(0, CH, body, 0)
 
 
 def _dup2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     """[B, H, C, W] -> [B, 2H, C, 2W], nearest duplication (optionally
     scaled in-register)."""
     B, H, C, W = x.shape
-    grid = (B, H)
+    CH = chunk_rows(H, 5 * C * W * x.dtype.itemsize)
+    grid = (B, H // CH)
     e = _interleave_matrix(W, jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_dup2x2_kernel, scale=scale),
+        functools.partial(_dup2x2_kernel, scale=scale, CH=CH),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, C, W), lambda b, i: (b, i, 0, 0),
+            pl.BlockSpec((1, CH, C, W), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((W, 2 * W), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, C, 2 * W), lambda b, i: (b, i, 0, 0),
+        out_specs=pl.BlockSpec((1, 2 * CH, C, 2 * W),
+                               lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2 * H, C, 2 * W), x.dtype),
         interpret=_INTERPRET,

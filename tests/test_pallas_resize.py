@@ -85,3 +85,20 @@ def test_dispatch_gates():
     assert not pallas_resize.pool_profitable(255, 128, 16)   # odd H
     assert pallas_resize.upsample_profitable(64, 128, 32)
     assert not pallas_resize.upsample_profitable(32, 64, 64)  # W=64
+
+
+def test_chunk_rows_divisor_rule(monkeypatch):
+    """chunk_rows returns the largest divisor of h whose per-step HBM
+    traffic stays under the ~2 MB target (grid steps must tile h
+    exactly or the BlockSpec over-runs the array)."""
+    # tiny rows -> the whole extent fits one step
+    assert pallas_resize.chunk_rows(128, 16 * 1024) == 128
+    # a row alone exceeds the target -> single-row steps
+    assert pallas_resize.chunk_rows(128, 4 * 1024 * 1024) == 1
+    # target 32 rows; 32 divides 96
+    assert pallas_resize.chunk_rows(96, 64 * 1024) == 32
+    # target 40 rows; largest divisor of 96 <= 40 is 32
+    assert pallas_resize.chunk_rows(96, 51 * 1024) == 32
+    # env override shrinks the target
+    monkeypatch.setenv("PALLAS_UP_CHUNK", str(64 * 1024))
+    assert pallas_resize.chunk_rows(128, 16 * 1024) == 4

@@ -118,6 +118,13 @@ def reference_builders():
     if not hasattr(legacy_layers, "BatchNormalization"):
         legacy_layers.BatchNormalization = _BNUnavailable
 
+    # Snapshot the cyclegan entries so teardown can undo the swap to the
+    # reference's package: leaving it in sys.modules makes a later
+    # ``import cyclegan.model`` (test_reference_imports.py) resolve into
+    # /root/reference, whose model.py imports the unavailable ``bunch``.
+    _swapped = ("cyclegan", "cyclegan.unet", "cyclegan.resnet")
+    saved = {m: sys.modules.get(m) for m in _swapped}
+
     sys.path.insert(0, str(REFERENCE))
     try:
         # unet builds a modern-Keras graph; resnet a legacy-engine one.
@@ -137,7 +144,12 @@ def reference_builders():
         from cyclegan import resnet as ref_resnet
     finally:
         sys.path.remove(str(REFERENCE))
-    return ref_unet, ref_resnet
+    yield ref_unet, ref_resnet
+    for m, v in saved.items():
+        if v is None:
+            sys.modules.pop(m, None)
+        else:
+            sys.modules[m] = v
 
 
 def _flat_weight_layers(model):
