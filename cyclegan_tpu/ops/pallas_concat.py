@@ -32,9 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 # shared 0/1 lane-duplication / pair-sum MXU-contraction builders and
 # the common grid-chunk sizing rule (~2 MB of traffic per grid step)
 from cyclegan_tpu.ops.pallas_resize import (
-    _interleave_matrix,
-    _pair_sum_matrix,
     chunk_rows,
+    interleave_matrix,
+    pair_sum_matrix,
 )
 
 _ENABLED = False
@@ -67,13 +67,13 @@ def _chunk_rows(height: int, width: int, channels: int,
     return chunk_rows(height, 2 * channels * width * itemsize)
 
 
-def _concat2_kernel(a_ref, b_ref, out_ref, *, R, C1, C2):
+def _concat2_kernel(a_ref, b_ref, out_ref, *, R, C1):
     for r in range(R):
         out_ref[0, r, :C1, :] = a_ref[0, r, :, :]
         out_ref[0, r, C1:, :] = b_ref[0, r, :, :]
 
 
-def _split2_kernel(g_ref, da_ref, db_ref, *, R, C1, C2):
+def _split2_kernel(g_ref, da_ref, db_ref, *, R, C1):
     for r in range(R):
         da_ref[0, r, :, :] = g_ref[0, r, :C1, :]
         db_ref[0, r, :, :] = g_ref[0, r, C1:, :]
@@ -92,7 +92,7 @@ def _concat2_impl(a, b):
     R = _chunk_rows(H, W, C, a.dtype.itemsize)
     grid = (B, H // R)
     return pl.pallas_call(
-        functools.partial(_concat2_kernel, R=R, C1=C1, C2=C2),
+        functools.partial(_concat2_kernel, R=R, C1=C1),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, R, C1, W), lambda bi, i: (bi, i, 0, 0),
@@ -118,7 +118,7 @@ def _split2(g, C1):
     R = _chunk_rows(H, W, C, g.dtype.itemsize)
     grid = (B, H // R)
     return pl.pallas_call(
-        functools.partial(_split2_kernel, R=R, C1=C1, C2=C2),
+        functools.partial(_split2_kernel, R=R, C1=C1),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, R, C, W), lambda bi, i: (bi, i, 0, 0),
@@ -180,15 +180,14 @@ def up_profitable(width: int, c1: int, c2: int) -> bool:
 
 
 def _up_chunk(h: int, width: int, c1: int, c2: int, itemsize: int) -> int:
-    """x-rows per grid step. One x-row costs (2*c1 + c2 + 2*(c1+c2)) * 2w
-    output-side elements of traffic (skip read + x read + concat write)."""
-    per_row = (2 * c1 + c2 + 2 * (c1 + c2)) * 2 * width * itemsize
+    """x-rows per grid step. One x-row of the junction moves
+    4*c1*w (skip read: 2 rows of [c1, 2w]) + c2*w (x read) +
+    4*(c1+c2)*w (concat write: 2 rows of [c1+c2, 2w]) elements."""
+    per_row = (4 * c1 + c2 + 4 * (c1 + c2)) * width * itemsize
     return chunk_rows(h, per_row)
 
 
-def _concat_up2_kernel(skip_ref, x_ref, e_ref, out_ref, *, C1, C2, CH):
-    from jax import lax
-
+def _concat_up2_kernel(skip_ref, x_ref, e_ref, out_ref, *, C1, CH):
     def body(i, _):
         xr = x_ref[0, pl.ds(i, 1), :, :].astype(jnp.float32)[0]
         wide = jax.lax.dot_general(
@@ -203,12 +202,10 @@ def _concat_up2_kernel(skip_ref, x_ref, e_ref, out_ref, *, C1, C2, CH):
         )
         return 0
 
-    lax.fori_loop(0, CH, body, 0)
+    jax.lax.fori_loop(0, CH, body, 0)
 
 
 def _split_pool2_kernel(g_ref, p_ref, dskip_ref, dx_ref, *, C1, CH):
-    from jax import lax
-
     def body(i, _):
         pair = g_ref[0, pl.ds(2 * i, 2), :, :]
         dskip_ref[0, pl.ds(2 * i, 2), :, :] = pair[:, :C1, :]
@@ -221,7 +218,7 @@ def _split_pool2_kernel(g_ref, p_ref, dskip_ref, dx_ref, *, C1, CH):
         dx_ref[0, pl.ds(i, 1), :, :] = dx[None]
         return 0
 
-    lax.fori_loop(0, CH, body, 0)
+    jax.lax.fori_loop(0, CH, body, 0)
 
 
 @jax.custom_vjp
@@ -237,9 +234,9 @@ def _concat_up2_impl(skip, x):
     C = C1 + C2
     CH = _up_chunk(h, w, C1, C2, skip.dtype.itemsize)
     grid = (B, h // CH)
-    e = _interleave_matrix(w, jnp.float32)
+    e = interleave_matrix(w, jnp.float32)
     return pl.pallas_call(
-        functools.partial(_concat_up2_kernel, C1=C1, C2=C2, CH=CH),
+        functools.partial(_concat_up2_kernel, C1=C1, CH=CH),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2 * CH, C1, W), lambda bi, i: (bi, i, 0, 0),
@@ -269,7 +266,7 @@ def _split_pool2(g, C1, c2_dtype):
     h, w = H // 2, W // 2
     CH = _up_chunk(h, w, C1, C2, g.dtype.itemsize)
     grid = (B, h // CH)
-    p = _pair_sum_matrix(W, jnp.float32)
+    p = pair_sum_matrix(W, jnp.float32)
     return pl.pallas_call(
         functools.partial(_split_pool2_kernel, C1=C1, CH=CH),
         grid=grid,

@@ -28,6 +28,8 @@ tile, see pool_profitable).
 from __future__ import annotations
 
 import functools
+import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +38,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ENABLED = False
 _INTERPRET = False
+_CHUNK_TARGET: Optional[int] = None
+
+
+def set_chunk_target(nbytes: Optional[int]) -> None:
+    """Override the per-grid-step traffic target for ALL chunked copy
+    kernels (pool/upsample here, concat/upsample-concat in
+    pallas_concat). ``None`` restores the default (`PALLAS_CHUNK` env,
+    else 2 MB). Read at TRACE time: shapes already compiled keep their
+    old chunking — set it before the first call (tests use fresh shapes)."""
+    global _CHUNK_TARGET
+    _CHUNK_TARGET = nbytes
 
 
 def enable(on: bool = True) -> None:
@@ -66,13 +79,15 @@ def upsample_profitable(height: int, width: int, channels: int) -> bool:
 
 def chunk_rows(h: int, per_row_bytes: int) -> int:
     """Rows per grid step: target ~2 MB of HBM traffic per step
-    (`PALLAS_UP_CHUNK` env override) so the per-step DMA blocks are big
-    enough to pipeline — single-row grid steps left these copy kernels
-    at 1.7-2.4x of the HBM roofline on grid-step overhead. Returns the
-    largest divisor of ``h`` whose traffic stays under the target."""
-    import os
-
-    target_bytes = int(os.environ.get("PALLAS_UP_CHUNK", 2 * 1024 * 1024))
+    (`set_chunk_target` / `PALLAS_CHUNK` env) so the per-step DMA blocks
+    are big enough to pipeline — single-row grid steps left these copy
+    kernels at 1.7-2.4x of the HBM roofline on grid-step overhead.
+    Returns the largest divisor of ``h`` whose traffic stays under the
+    target. Evaluated at trace time (see set_chunk_target)."""
+    if _CHUNK_TARGET is not None:
+        target_bytes = _CHUNK_TARGET
+    else:
+        target_bytes = int(os.environ.get("PALLAS_CHUNK", 2 * 1024 * 1024))
     target = max(1, target_bytes // max(per_row_bytes, 1))
     for cand in range(min(target, h), 0, -1):
         if h % cand == 0:
@@ -80,7 +95,7 @@ def chunk_rows(h: int, per_row_bytes: int) -> int:
     return 1
 
 
-def _pair_sum_matrix(w: int, dtype) -> jnp.ndarray:
+def pair_sum_matrix(w: int, dtype) -> jnp.ndarray:
     """P[W, W/2] with P[2j, j] = P[2j+1, j] = 1: lane-pair summation as a
     matmul (Mosaic rejects the lane-splitting reshape; a 0/1 MXU contract
     is exact and always supported)."""
@@ -89,7 +104,7 @@ def _pair_sum_matrix(w: int, dtype) -> jnp.ndarray:
     return (i // 2 == j).astype(dtype)
 
 
-def _interleave_matrix(w: int, dtype) -> jnp.ndarray:
+def interleave_matrix(w: int, dtype) -> jnp.ndarray:
     """E[W, 2W] with E[j, 2j] = E[j, 2j+1] = 1: lane duplication."""
     j = jnp.arange(w)[:, None]
     i = jnp.arange(2 * w)[None, :]
@@ -98,8 +113,6 @@ def _interleave_matrix(w: int, dtype) -> jnp.ndarray:
 
 def _sum2x2_kernel(x_ref, p_ref, out_ref, *, scale, CH):
     # x block [1, 2*CH, C, 2*Wo]; p [W, Wo]; out block [1, CH, C, Wo]
-    from jax import lax
-
     def body(i, _):
         pair = x_ref[0, pl.ds(2 * i, 2), :, :].astype(jnp.float32)
         rows = pair[0] + pair[1]
@@ -112,7 +125,7 @@ def _sum2x2_kernel(x_ref, p_ref, out_ref, *, scale, CH):
             (pairs * scale).astype(out_ref.dtype)[None]
         return 0
 
-    lax.fori_loop(0, CH, body, 0)
+    jax.lax.fori_loop(0, CH, body, 0)
 
 
 def _sum2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
@@ -122,7 +135,7 @@ def _sum2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     Ho, Wo = H // 2, W // 2
     CH = chunk_rows(Ho, C * (2 * W + Wo) * x.dtype.itemsize)
     grid = (B, Ho // CH)
-    p = _pair_sum_matrix(W, jnp.float32)
+    p = pair_sum_matrix(W, jnp.float32)
     out = pl.pallas_call(
         functools.partial(_sum2x2_kernel, scale=scale, CH=CH),
         grid=grid,
@@ -148,8 +161,6 @@ def _sum2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
 
 def _dup2x2_kernel(x_ref, e_ref, out_ref, *, scale, CH):
     # x block [1, CH, C, W]; e [W, 2W]; out block [1, 2*CH, C, 2W]
-    from jax import lax
-
     def body(i, _):
         row = x_ref[0, pl.ds(i, 1), :, :].astype(jnp.float32)[0]
         if scale != 1.0:
@@ -164,7 +175,7 @@ def _dup2x2_kernel(x_ref, e_ref, out_ref, *, scale, CH):
         )
         return 0
 
-    lax.fori_loop(0, CH, body, 0)
+    jax.lax.fori_loop(0, CH, body, 0)
 
 
 def _dup2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
@@ -173,7 +184,7 @@ def _dup2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     B, H, C, W = x.shape
     CH = chunk_rows(H, 5 * C * W * x.dtype.itemsize)
     grid = (B, H // CH)
-    e = _interleave_matrix(W, jnp.float32)
+    e = interleave_matrix(W, jnp.float32)
     out = pl.pallas_call(
         functools.partial(_dup2x2_kernel, scale=scale, CH=CH),
         grid=grid,

@@ -129,3 +129,45 @@ def test_upsample_concat_op_dispatch():
                                   np.asarray(expect, np.float32))
     np.testing.assert_array_equal(np.asarray(fallback, np.float32),
                                   np.asarray(expect, np.float32))
+
+
+def test_multistep_chunked_grids_match_xla():
+    """Force CH strictly between 1 and the H extent on all four chunked
+    kernels (concat2/split2 and the up-junction pair) so the i->i*CH
+    BlockSpec index maps AND the in-kernel pl.ds loop addressing are both
+    exercised — the default ~2MB target collapses every other test's grid
+    to one H step, which would hide an off-by-one until real training."""
+    from cyclegan_tpu.ops import pallas_resize
+
+    pallas_resize.set_chunk_target(100 * 1024)
+    try:
+        # concat2: per_row 2*48*128*2 = 24576 -> CH=4 of H=8 (2 grid steps)
+        assert pallas_concat._chunk_rows(8, 128, 48, 2) == 4
+        a = _rand((2, 8, 16, 128), seed=21)
+        b = _rand((2, 8, 32, 128), seed=22)
+        ct = _rand((2, 8, 48, 128), seed=23)
+        ref, ref_vjp = jax.vjp(
+            lambda a, b: jnp.concatenate([a, b], axis=2), a, b)
+        got, got_vjp = jax.vjp(pallas_concat.concat2_nhcw, a, b)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        for g, r in zip(got_vjp(ct), ref_vjp(ct)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+        # up-junction: per_row (4*16+32+4*48)*64*2 = 36864 -> CH=2 of h=8
+        assert pallas_concat._up_chunk(8, 64, 16, 32, 2) == 2
+        skip = _rand((2, 16, 16, 128), seed=24)
+        x = _rand((2, 8, 32, 64), seed=25)
+        ct2 = _rand((2, 16, 48, 128), seed=26)
+
+        def ref_up(skip, x):
+            up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=3)
+            return jnp.concatenate([skip, up], axis=2)
+
+        ref, ref_vjp = jax.vjp(ref_up, skip, x)
+        got, got_vjp = jax.vjp(pallas_concat.concat_up2_nhcw, skip, x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        for g, r in zip(got_vjp(ct2), ref_vjp(ct2)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-6, atol=1e-6)
+    finally:
+        pallas_resize.set_chunk_target(None)

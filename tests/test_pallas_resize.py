@@ -100,5 +100,50 @@ def test_chunk_rows_divisor_rule(monkeypatch):
     # target 40 rows; largest divisor of 96 <= 40 is 32
     assert pallas_resize.chunk_rows(96, 51 * 1024) == 32
     # env override shrinks the target
-    monkeypatch.setenv("PALLAS_UP_CHUNK", str(64 * 1024))
+    monkeypatch.setenv("PALLAS_CHUNK", str(64 * 1024))
     assert pallas_resize.chunk_rows(128, 16 * 1024) == 4
+    # the explicit API wins over the env
+    pallas_resize.set_chunk_target(32 * 1024)
+    try:
+        assert pallas_resize.chunk_rows(128, 16 * 1024) == 2
+    finally:
+        pallas_resize.set_chunk_target(None)
+
+
+def test_multistep_chunked_grids_match_xla():
+    """Force CH strictly between 1 and the H extent on sum2x2/dup2x2 so
+    the chunked BlockSpec index maps and in-kernel pl.ds loops are
+    exercised (every other test's shapes collapse to a 1-step H grid)."""
+    pallas_resize.set_chunk_target(100 * 1024)
+    try:
+        # pool: per_row 16*(512+128)*2 = 20480 -> CH=4 of Ho=8
+        assert pallas_resize.chunk_rows(8, 20480) == 4
+        x = _rand((2, 16, 16, 256), seed=31)
+        ct = _rand((2, 8, 16, 128), seed=32)
+        def _pool_ref(x):
+            with layout.nhcw():
+                return avg_pool2x2(x)
+
+        ref, ref_vjp = jax.vjp(_pool_ref, x)
+        got, got_vjp = jax.vjp(pallas_resize.avg_pool2x2_nhcw, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_vjp(ct)[0]),
+                                   np.asarray(ref_vjp(ct)[0]),
+                                   rtol=1e-6, atol=1e-6)
+
+        # upsample: per_row 5*16*128*2 = 20480 -> CH=4 of H=8
+        y = _rand((2, 8, 16, 128), seed=33)
+        ct2 = _rand((2, 16, 16, 256), seed=34)
+        def _up_ref(y):
+            with layout.nhcw():
+                return upsample_nearest_2x(y)
+
+        ref, ref_vjp = jax.vjp(_up_ref, y)
+        got, got_vjp = jax.vjp(pallas_resize.upsample2x_nhcw, y)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        np.testing.assert_allclose(np.asarray(got_vjp(ct2)[0]),
+                                   np.asarray(ref_vjp(ct2)[0]),
+                                   rtol=1e-6, atol=1e-6)
+    finally:
+        pallas_resize.set_chunk_target(None)
