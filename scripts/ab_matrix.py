@@ -35,6 +35,9 @@ MATRIX = {
     "PALLAS_VMEM_CAP": ["3500000", "8000000", "16000000"],
     "PALLAS_PAD": ["xla", "kernel"],
     "PALLAS_WPACK": ["0", "1"],
+    # per-grid-step traffic target of the chunked copy kernels
+    # (pool/upsample/concat/up-junction)
+    "PALLAS_CHUNK": ["1048576", "2097152", "4194304", "8388608"],
 }
 
 
