@@ -229,9 +229,17 @@ def _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
     kern = functools.partial(_bwd_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
     bytes_t = 3 * B * H * C * W * x.dtype.itemsize
+    # dx overwrites gz in place (same shape; gz is an intermediate
+    # cotangent, dead after this call — XLA copies if it is not): one
+    # fewer whole-tensor VMEM buffer, which BASELINE.md measured as the
+    # binding constraint at C=32 (x+gz+dx double-buffers exceeded VMEM).
+    # In-kernel ordering is safe: pass2 reads gz chunk i before writing
+    # dx chunk i and never revisits it.
+    alias = {1: 0} if gz.dtype == x.dtype else {}
     dx, t1, t2 = pl.pallas_call(
         kern,
         grid=(B,),
+        input_output_aliases=alias,
         in_specs=[
             pl.BlockSpec((1, H, C, W), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
