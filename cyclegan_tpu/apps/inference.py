@@ -72,11 +72,10 @@ class InferenceSession:
         if isinstance(tpu_layout, str) and tpu_layout.lower() == "auto":
             tpu_layout = (jax.default_backend() == "tpu"
                           and compute_dtype == "bfloat16")
+        # The pack is scoped per trace inside fwd (ops/packctx.py): a
+        # bf16 kernel-pack server and an f32 parity session coexist in
+        # one process — no module-global mutation.
         self.tpu_layout = bool(tpu_layout)
-        if self.tpu_layout:
-            from cyclegan_tpu.ops import enable_kernel_pack
-
-            enable_kernel_pack(True)
 
         model_dir = Path(model_dir)
         config_path = model_dir / "model_config.yaml"
@@ -125,6 +124,7 @@ class InferenceSession:
 
             def fwd(params, model_state, x):
                 from cyclegan_tpu.ops import layout as _layout
+                from cyclegan_tpu.ops import packctx as _packctx
 
                 x = normalize(x) if x.dtype == jnp.uint8 else x
                 if cdtype != jnp.float32:
@@ -135,7 +135,7 @@ class InferenceSession:
                     )
                     x = x.astype(cdtype)
                 if use_nhcw:
-                    with _layout.nhcw():
+                    with _layout.nhcw(), _packctx.scope(True):
                         y, _ = model.apply(params, model_state,
                                            _layout.to_nhcw(x), train=False)
                     y = _layout.from_nhcw(y)

@@ -19,9 +19,12 @@ from cyclegan_tpu.ops.resize import (
 )
 
 def enable_kernel_pack(enabled: bool = True, interpret=None) -> None:
-    """Toggle the NHCW Pallas kernel pack (conv/resize/norm-act/concat)
-    in one place — the single switch behind ``tpu_layout`` in the trainer,
-    ``InferenceSession``, and the benches.
+    """Set the process-wide *default* for the NHCW Pallas kernel pack
+    (conv/resize/norm-act/concat) — used by single-purpose processes
+    (bench.py, scripts/). Product paths (``tpu_layout`` in the trainer /
+    ``InferenceSession``) no longer touch this: they scope the pack per
+    trace via ``ops.packctx.scope``, which overrides these defaults
+    while active.
 
     ``interpret=None`` auto-selects the Pallas interpreter when the
     backend is not TPU, so the layout path stays testable on CPU/CI.

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cyclegan_tpu.ops import packctx
+
 # shared 0/1 lane-duplication / pair-sum MXU-contraction builders and
 # the common grid-chunk sizing rule (~2 MB of traffic per grid step)
 from cyclegan_tpu.ops.pallas_resize import (
@@ -47,12 +49,20 @@ def enable(on: bool = True) -> None:
 
 
 def is_enabled() -> bool:
-    return _ENABLED
+    s = packctx.active()
+    return s.enabled if s is not None else _ENABLED
 
 
 def set_interpret(on: bool) -> None:
     global _INTERPRET
     _INTERPRET = on
+
+
+def _interpret() -> bool:
+    s = packctx.active()
+    if s is not None:
+        return packctx.resolve_interpret(s.interpret)
+    return _INTERPRET
 
 
 def profitable(width: int, c1: int, c2: int) -> bool:
@@ -103,7 +113,7 @@ def _concat2_impl(a, b):
         out_specs=pl.BlockSpec((1, R, C, W), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, C, W), a.dtype),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=0,
             bytes_accessed=2 * B * H * C * W * a.dtype.itemsize,
@@ -134,7 +144,7 @@ def _split2(g, C1):
             jax.ShapeDtypeStruct((B, H, C1, W), g.dtype),
             jax.ShapeDtypeStruct((B, H, C2, W), g.dtype),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=0,
             bytes_accessed=2 * B * H * C * W * g.dtype.itemsize,
@@ -250,7 +260,7 @@ def _concat_up2_impl(skip, x):
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, C, W), skip.dtype),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * h * C2 * w * W,
             bytes_accessed=(2 * B * H * C1 * W + B * h * C2 * w
@@ -286,7 +296,7 @@ def _split_pool2(g, C1, c2_dtype):
             jax.ShapeDtypeStruct((B, H, C1, W), g.dtype),
             jax.ShapeDtypeStruct((B, h, C2, w), c2_dtype),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * h * C2 * W * w,
             bytes_accessed=2 * B * H * C * W * g.dtype.itemsize,

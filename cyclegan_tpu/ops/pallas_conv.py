@@ -52,6 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cyclegan_tpu.ops import packctx
+
 _ENABLED = False
 _INTERPRET = False  # set True in tests to run kernels on CPU
 # dW kernel form: stacked-M (one deep matmul, K-fold MXU-row occupancy)
@@ -123,12 +125,20 @@ def enable(on: bool = True) -> None:
 
 
 def is_enabled() -> bool:
-    return _ENABLED
+    s = packctx.active()
+    return s.enabled if s is not None else _ENABLED
 
 
 def set_interpret(on: bool) -> None:
     global _INTERPRET
     _INTERPRET = on
+
+
+def _interpret() -> bool:
+    s = packctx.active()
+    if s is not None:
+        return packctx.resolve_interpret(s.interpret)
+    return _INTERPRET
 
 
 def _round_up(x: int, m: int) -> int:
@@ -445,7 +455,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
         ),
         out_shape=jax.ShapeDtypeStruct((B, (H // R) * R * Cout, W), xp.dtype),
         scratch_shapes=[pltpu.VMEM((K * C, n_rows * Wk), xp.dtype)],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * K * K * C * Cout,
             bytes_accessed=(B * H_in * C_src * W_in + B * H * Cout * W)
@@ -638,7 +648,7 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
         ),
         out_shape=jax.ShapeDtypeStruct((Cout, K * K * C), jnp.float32),
         scratch_shapes=scratch,
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * K * K * C * Cout,
             bytes_accessed=(B * H_in * C_src * W_in + B * H * Cout * W)
@@ -824,7 +834,7 @@ def _conv1x1_rows(x: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec((1, R * Cout, W), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H * Cout, W), x.dtype),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * Cout,
             bytes_accessed=(B * H * (C + Cout) * W) * x.dtype.itemsize,
@@ -886,7 +896,7 @@ def _conv1x1_dw(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Cout, C), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Cout, C), jnp.float32)],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * Cout,
             bytes_accessed=(B * H * (C + Cout) * W) * x.dtype.itemsize,

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cyclegan_tpu.ops import packctx
+
 _ENABLED = False
 _INTERPRET = False
 _CHUNK_TARGET: Optional[int] = None
@@ -57,12 +59,20 @@ def enable(on: bool = True) -> None:
 
 
 def is_enabled() -> bool:
-    return _ENABLED
+    s = packctx.active()
+    return s.enabled if s is not None else _ENABLED
 
 
 def set_interpret(on: bool) -> None:
     global _INTERPRET
     _INTERPRET = on
+
+
+def _interpret() -> bool:
+    s = packctx.active()
+    if s is not None:
+        return packctx.resolve_interpret(s.interpret)
+    return _INTERPRET
 
 
 def pool_profitable(height: int, width: int, channels: int) -> bool:
@@ -148,7 +158,7 @@ def _sum2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
         out_specs=pl.BlockSpec((1, CH, C, Wo), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Ho, C, Wo), x.dtype),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Ho * C * W * Wo,
             bytes_accessed=(B * H * C * W + B * Ho * C * Wo)
@@ -198,7 +208,7 @@ def _dup2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 2 * H, C, 2 * W), x.dtype),
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * C * W * 2 * W,
             bytes_accessed=5 * B * H * C * W * x.dtype.itemsize,

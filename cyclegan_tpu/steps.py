@@ -28,6 +28,7 @@ implementation.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import jax
@@ -185,9 +186,14 @@ def _forward_losses(
         # Lane-dense NHCW execution (ops/layout.py): transpose the batch
         # once here; every op below consults the scoped flag. Pure
         # execution detail -- params, losses and metrics are unchanged.
+        # The Pallas kernel pack is scoped alongside the layout
+        # (ops/packctx.py): the enable/interpret decision is captured at
+        # trace time per step, so a tpu_layout step and an f32 parity
+        # step coexist in one process without touching module globals.
         from cyclegan_tpu.ops import layout as _layout
+        from cyclegan_tpu.ops import packctx as _packctx
 
-        with _layout.nhcw():
+        with _layout.nhcw(), _packctx.scope(True):
             return _forward_losses(
                 params, model_state, models, loss_obj, loss_weights,
                 _layout.to_nhcw(real_a), _layout.to_nhcw(real_b),
@@ -324,6 +330,24 @@ def _forward_losses(
         d_B=st_db2 if st_db2 else st_db1,
     )
     return surrogate, metrics, new_model_state
+
+
+def _pack_scoped(fn: Callable, tpu_layout: bool) -> Callable:
+    """Wrap a to-be-jitted step so the WHOLE trace — including
+    custom-VJP backward rules, which JAX traces at transposition time,
+    well after ``_forward_losses``' own with-block has exited — runs
+    under the kernel-pack scope (ops/packctx.py). Per post-compile call
+    this is one no-op context-manager entry."""
+    if not tpu_layout:
+        return fn
+    from cyclegan_tpu.ops import packctx
+
+    @functools.wraps(fn)
+    def scoped(*args, **kwargs):
+        with packctx.scope(True):
+            return fn(*args, **kwargs)
+
+    return scoped
 
 
 def _check_spatial_kernel_exclusion(
@@ -530,6 +554,7 @@ def make_validate_step(
         return metrics
 
     _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
+    validate_step = _pack_scoped(validate_step, tpu_layout)
     if mesh is None:
         return jax.jit(validate_step)
     replicated, batch = _batch_shardings(mesh, mesh_axis, spatial_axis)
@@ -555,6 +580,7 @@ def make_train_step(
     paired: bool = False,
     tpu_layout: bool = False,
     fuse_apps: bool = False,
+    shard_map_dp: bool = False,
 ) -> Callable:
     """Build the jitted train step: one forward set, ONE backward pass,
     four optimizer updates (reference: train_step, cyclegan/model.py:136-154).
@@ -571,6 +597,21 @@ def make_train_step(
     and the batch sharded along ``mesh_axis``: XLA's SPMD partitioner
     derives the gradient all-reduce (psum over ICI) from the sharding
     annotations — the TPU-native replacement for a NCCL data-parallel loop.
+
+    ``shard_map_dp=True`` (requires ``mesh``) swaps GSPMD's automatic
+    partitioning for an explicit ``shard_map`` over ``mesh_axis``: each
+    device traces the step on its LOCAL per-shard batch and gradients /
+    metrics are pmean'd by hand. Math-identical to the GSPMD path (same
+    equal-shard mean decomposition), but the per-device program is built
+    at per-shard shapes *by construction* — the insurance path for the
+    Pallas kernel pack, whose Mosaic custom calls GSPMD may otherwise
+    choose to all-gather-and-replicate rather than partition (GSPMD's
+    treatment of opaque custom calls is not contractual; inside
+    shard_map there is no partitioner decision left to make). The only
+    behavioral difference: per-shard RNG streams are derived by folding
+    ``axis_index`` into the step rng, so augmentation/dropout draws
+    differ from the single-device sequence (the GSPMD path shards one
+    global draw instead).
     """
     loss_obj = get_loss_obj(loss_name)
     weights = {k: float(v) for k, v in dict(loss_weights).items()}
@@ -613,14 +654,26 @@ def make_train_step(
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def train_step(state: TrainState, real_a, real_b):
+    def train_step(state: TrainState, real_a, real_b, axis_name=None):
         rng, step_rng = jax.random.split(state.rng)
+        if axis_name is not None:
+            # shard_map mode: the body runs once per shard on the local
+            # batch — decorrelate the per-shard augmentation/dropout
+            # streams (the GSPMD path shards one global draw instead).
+            step_rng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(axis_name)
+            )
         if preprocess is not None:
             pre_rng, step_rng = jax.random.split(step_rng)
             real_a, real_b = preprocess(pre_rng, real_a, real_b)
         grads, (metrics, new_model_state) = grad_fn(
             state.params, state.model_state, real_a, real_b, step_rng
         )
+        if axis_name is not None:
+            # Equal shards: global-mean-loss gradients are the pmean of
+            # per-shard local-mean gradients; same for the metric means.
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
         if paired:  # stateless models; keep existing (empty) state trees
             new_model_state = state.model_state
         new_params = {}
@@ -643,6 +696,28 @@ def make_train_step(
 
     donate_argnums = (0,) if donate else ()
     _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
+    if shard_map_dp:
+        if mesh is None:
+            raise ValueError("shard_map_dp requires a mesh")
+        if spatial_axis is not None:
+            raise ValueError(
+                "shard_map_dp is a pure data-parallel path; it cannot "
+                "combine with a spatial mesh axis"
+            )
+        from jax.sharding import PartitionSpec as P
+
+        body = _pack_scoped(
+            functools.partial(train_step, axis_name=mesh_axis), tpu_layout
+        )
+        sm = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(mesh_axis), P(mesh_axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sm, donate_argnums=donate_argnums)
+    train_step = _pack_scoped(train_step, tpu_layout)
     if mesh is None:
         return jax.jit(train_step, donate_argnums=donate_argnums)
     replicated, batch = _batch_shardings(mesh, mesh_axis, spatial_axis)

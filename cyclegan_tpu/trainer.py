@@ -134,11 +134,23 @@ class CycleGan:
                 "(Pallas custom calls are opaque to the SPMD partitioner); "
                 "leave tpu_layout at auto/false for spatial training"
             )
+        # The kernel pack itself is scoped per trace inside the step
+        # (steps._forward_losses enters ops.packctx.scope) — the trainer
+        # no longer mutates process-global pack flags.
         self.tpu_layout = bool(tpu_layout)
-        if self.tpu_layout:
-            from cyclegan_tpu.ops import enable_kernel_pack
-
-            enable_kernel_pack(True)
+        # dp_shard_map: route data parallelism through an explicit
+        # jax.shard_map instead of GSPMD sharding annotations — each chip
+        # traces the step (and any Pallas custom calls) at per-shard
+        # shapes by construction. The insurance knob for kernel-pack
+        # multi-chip runs, should GSPMD choose to replicate rather than
+        # partition the Mosaic custom calls (steps.make_train_step
+        # docstring). Train-path only; validation stays on GSPMD.
+        self.dp_shard_map = bool(train_config.get("dp_shard_map", False))
+        if self.dp_shard_map and self.spatial_axis is not None:
+            raise ValueError(
+                "dp_shard_map is a pure data-parallel path; it cannot "
+                "combine with a spatial mesh"
+            )
 
         self.models = {
             "g_AB": create_model(model_config.generator),
@@ -182,8 +194,15 @@ class CycleGan:
             remat=self.remat,
             tpu_layout=self.tpu_layout,
             fuse_apps=self.fuse_apps,
+            shard_map_dp=self.dp_shard_map and mesh is not None,
         )
         self.multi_step_fn = None
+        if self.steps_per_call > 1 and self.dp_shard_map and mesh is not None:
+            raise ValueError(
+                "steps_per_call > 1 is not supported with dp_shard_map "
+                "yet; set steps_per_call: 1 or use the default GSPMD "
+                "data-parallel path"
+            )
         if self.steps_per_call > 1:
             from cyclegan_tpu.steps import make_train_multi_step
 

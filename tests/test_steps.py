@@ -421,3 +421,44 @@ def test_dual_disc_views_gradient_routing():
     )
     gx_d_only = jax.grad(loss_dual, argnums=1)(p, x, 0.0, 1.0)
     assert np.allclose(gx_d_only, 0.0)
+
+
+def test_shard_map_dp_matches_gspmd_mesh(batch):
+    """The explicit shard_map DP path (steps.make_train_step
+    shard_map_dp=True — the insurance path for Pallas-kernel
+    partitioning) must produce the same updated params and metrics as
+    the GSPMD-partitioned mesh path: identical math, different
+    partitioning machinery. rng is unused here (no dropout/preprocess),
+    so the per-shard fold_in does not affect numerics."""
+    from cyclegan_tpu.parallel import create_mesh, replicate, shard_batch
+
+    real_a, real_b = batch
+    models = build_models()
+    state, optimizers = build_state(models)
+    mesh = create_mesh(2)
+    state_r = replicate(mesh, state)
+    a_s, b_s = shard_batch(mesh, (real_a, real_b))
+
+    gspmd = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                            donate=False, mesh=mesh)
+    s1, m1 = gspmd(state_r, a_s, b_s)
+
+    sm = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                         donate=False, mesh=mesh, shard_map_dp=True)
+    s2, m2 = sm(state_r, a_s, b_s)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=1e-5, atol=1e-6)
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_shard_map_dp_requires_mesh():
+    models = build_models()
+    _, optimizers = build_state(models)
+    with pytest.raises(ValueError, match="requires a mesh"):
+        make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                        shard_map_dp=True)
