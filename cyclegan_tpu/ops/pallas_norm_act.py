@@ -38,6 +38,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cyclegan_tpu.ops import packctx
+
 _ENABLED = False
 _INTERPRET = False
 
@@ -51,12 +53,20 @@ def enable(on: bool = True) -> None:
 
 
 def is_enabled() -> bool:
-    return _ENABLED
+    s = packctx.active()
+    return s.enabled if s is not None else _ENABLED
 
 
 def set_interpret(on: bool) -> None:
     global _INTERPRET
     _INTERPRET = on
+
+
+def _interpret() -> bool:
+    s = packctx.active()
+    if s is not None:
+        return packctx.resolve_interpret(s.interpret)
+    return _INTERPRET
 
 
 def profitable(height: int, channels: int, width: int,
@@ -181,8 +191,256 @@ def _scalars(p: Optional[jnp.ndarray], C: int, fill: float) -> jnp.ndarray:
     return p.astype(jnp.float32).reshape(C, 1)
 
 
+# Slab size above which the blocked path's automatic double-buffering
+# (2 copies of every whole-sample input/output block) exceeds the ~16 MB
+# VMEM and Mosaic serializes DMA against compute — the measured 1.89x-HBM
+# roofline row at 256^2 C32 (BASELINE.md audit; VERDICT r2 next #7). At
+# and above this size the streamed kernels below take over: x/gz live in
+# HBM (memory_space=ANY) and the kernel hand-pipelines chunk DMAs into
+# SINGLE-buffered whole-sample VMEM slabs — chunk i+1's copy overlaps
+# chunk i's compute, at half the resident footprint of the automatic
+# pipeline.
+_STREAM_SLAB_BYTES = 3 * 1024 * 1024
+# In-DMA chunk rows: ~512 KB arrivals keep the wait granularity fine
+# enough to overlap the first compute with the remaining copies, while
+# holding the per-chunk f32 working set small enough that xbuf+gbuf
+# (2 x 4 MB at the largest dispatched slab) plus temporaries stay inside
+# the 16 MB VMEM.
+_STREAM_CHUNK_BYTES = 512 * 1024
+
+
+def _stream_chunk(H: int, C: int, W: int, itemsize: int = 2) -> int:
+    rows = max(1, _STREAM_CHUNK_BYTES // (C * W * itemsize))
+    for cand in range(min(rows, H), 0, -1):
+        if H % cand == 0:
+            return cand
+    return 1
+
+
+def _fwd_stream_kernel(x_hbm, g_ref, b_ref, z_hbm, mu_ref, rstd_ref,
+                       xbuf, sem_in, sem_out, *, H, C, W, eps, act, alpha):
+    """Streamed forward for slabs too big to double-buffer: grid (B,);
+    x arrives chunk-by-chunk into a single whole-sample VMEM slab (copy
+    i+1 overlaps stats on chunk i), pass 2 rewrites each chunk in place
+    with the normalized+activated values and DMAs it out."""
+    b = pl.program_id(0)
+    SCH = _stream_chunk(H, C, W)
+    n = H // SCH
+
+    def in_dma(i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * SCH, SCH)],
+            xbuf.at[pl.ds(i * SCH, SCH)],
+            sem_in.at[i],
+        )
+
+    for i in range(n):
+        in_dma(i).start()
+
+    s1 = jnp.zeros((C, W), jnp.float32)
+    s2 = jnp.zeros((C, W), jnp.float32)
+    for i in range(n):  # static trip count: chunk DMAs wait on static sems
+        in_dma(i).wait()
+        rows = xbuf[pl.ds(i * SCH, SCH), :, :].astype(jnp.float32)
+        s1 = s1 + jnp.sum(rows, axis=0)
+        s2 = s2 + jnp.sum(rows * rows, axis=0)
+    cnt = float(H * W)
+    mu = jnp.sum(s1, axis=1, keepdims=True) / cnt
+    sq = jnp.sum(s2, axis=1, keepdims=True) / cnt
+    var = jnp.maximum(sq - mu * mu, 0.0)
+    rstd = lax.rsqrt(var + eps)
+    a = g_ref[:, :] * rstd
+    off = b_ref[:, :] - mu * a
+
+    def out_dma(i):
+        return pltpu.make_async_copy(
+            xbuf.at[pl.ds(i * SCH, SCH)],
+            z_hbm.at[b, pl.ds(i * SCH, SCH)],
+            sem_out.at[i],
+        )
+
+    for i in range(n):
+        rows = xbuf[pl.ds(i * SCH, SCH), :, :].astype(jnp.float32)
+        v = rows * a[None] + off[None]
+        xbuf[pl.ds(i * SCH, SCH), :, :] = (
+            _act_apply(v, act, alpha).astype(xbuf.dtype)
+        )
+        out_dma(i).start()
+    mu_ref[0, :, :] = mu
+    rstd_ref[0, :, :] = rstd
+    for i in range(n):
+        out_dma(i).wait()
+
+
+def _bwd_stream_kernel(x_hbm, gz_hbm, g_ref, b_ref, mu_ref, rstd_ref,
+                       dx_hbm, t1_ref, t2_ref,
+                       xbuf, gbuf, sem_x, sem_g, sem_out, *,
+                       H, C, W, eps, act, alpha):
+    """Streamed backward (the 1.89x-HBM fix): x and gz stream into two
+    single-buffered whole-sample slabs; pass 1 reduces t1/t2 as chunks
+    land, pass 2 overwrites gbuf chunks with dx and DMAs them out."""
+    b = pl.program_id(0)
+    SCH = _stream_chunk(H, C, W)
+    n = H // SCH
+    mu = mu_ref[0, :, :]
+    rstd = rstd_ref[0, :, :]
+    gamma = g_ref[:, :]
+    beta = b_ref[:, :]
+
+    def x_dma(i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * SCH, SCH)],
+            xbuf.at[pl.ds(i * SCH, SCH)], sem_x.at[i])
+
+    def g_dma(i):
+        return pltpu.make_async_copy(
+            gz_hbm.at[b, pl.ds(i * SCH, SCH)],
+            gbuf.at[pl.ds(i * SCH, SCH)], sem_g.at[i])
+
+    for i in range(n):
+        x_dma(i).start()
+        g_dma(i).start()
+
+    a1 = jnp.zeros((C, W), jnp.float32)
+    a2 = jnp.zeros((C, W), jnp.float32)
+    for i in range(n):  # static trip count: chunk DMAs wait on static sems
+        x_dma(i).wait()
+        g_dma(i).wait()
+        rows = xbuf[pl.ds(i * SCH, SCH), :, :].astype(jnp.float32)
+        gz = gbuf[pl.ds(i * SCH, SCH), :, :].astype(jnp.float32)
+        xhat = (rows - mu[None]) * rstd[None]
+        v = xhat * gamma[None] + beta[None]
+        dv = gz * _act_grad(v, act, alpha)
+        a1 = a1 + jnp.sum(dv, axis=0)
+        a2 = a2 + jnp.sum(dv * xhat, axis=0)
+    t1 = jnp.sum(a1, axis=1, keepdims=True)
+    t2 = jnp.sum(a2, axis=1, keepdims=True)
+    cnt = float(H * W)
+    k = gamma * rstd
+
+    def out_dma(i):
+        return pltpu.make_async_copy(
+            gbuf.at[pl.ds(i * SCH, SCH)],
+            dx_hbm.at[b, pl.ds(i * SCH, SCH)], sem_out.at[i])
+
+    for i in range(n):
+        rows = xbuf[pl.ds(i * SCH, SCH), :, :].astype(jnp.float32)
+        gz = gbuf[pl.ds(i * SCH, SCH), :, :].astype(jnp.float32)
+        xhat = (rows - mu[None]) * rstd[None]
+        v = xhat * gamma[None] + beta[None]
+        dv = gz * _act_grad(v, act, alpha)
+        dx = k[None] * (dv - (t1 / cnt)[None] - xhat * (t2 / cnt)[None])
+        gbuf[pl.ds(i * SCH, SCH), :, :] = dx.astype(gbuf.dtype)
+        out_dma(i).start()
+    t1_ref[0, :, :] = t1
+    t2_ref[0, :, :] = t2
+    for i in range(n):
+        out_dma(i).wait()
+
+
+def _run_fwd_streamed(x, gamma, beta, eps, act, alpha):
+    B, H, C, W = x.shape
+    slab = H * C * W * x.dtype.itemsize
+    n = H // _stream_chunk(H, C, W)
+    kern = functools.partial(_fwd_stream_kernel, H=H, C=C, W=W, eps=eps,
+                             act=act, alpha=alpha)
+    bytes_t = 2 * B * H * C * W * x.dtype.itemsize
+    z, mu, rstd = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((C, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # z written by DMA
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, C, W), x.dtype),
+            jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, C, W), x.dtype),          # xbuf (single copy)
+            pltpu.SemaphoreType.DMA((n,)),            # per-chunk in sems
+            pltpu.SemaphoreType.DMA((n,)),            # per-chunk out sems
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=slab + 8 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * H * C * W, bytes_accessed=bytes_t,
+            transcendentals=B * C,
+        ),
+    )(x, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0))
+    return z, mu, rstd
+
+
+def _run_bwd_streamed(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
+    B, H, C, W = x.shape
+    slab = H * C * W * x.dtype.itemsize
+    n = H // _stream_chunk(H, C, W)
+    kern = functools.partial(_bwd_stream_kernel, H=H, C=C, W=W, eps=eps,
+                             act=act, alpha=alpha)
+    bytes_t = 3 * B * H * C * W * x.dtype.itemsize
+    dx, t1, t2 = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # gz in HBM
+            pl.BlockSpec((C, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # dx written by DMA
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, C, W), x.dtype),
+            jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, C, W), x.dtype),          # xbuf
+            pltpu.VMEM((H, C, W), x.dtype),          # gbuf -> dx staging
+            pltpu.SemaphoreType.DMA((n,)),
+            pltpu.SemaphoreType.DMA((n,)),
+            pltpu.SemaphoreType.DMA((n,)),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=2 * slab + 8 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * B * H * C * W, bytes_accessed=bytes_t,
+            transcendentals=0,
+        ),
+    )(x, gz, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0), mu, rstd)
+    return dx, t1, t2
+
+
 def _run_fwd(x, gamma, beta, eps, act, alpha):
     B, H, C, W = x.shape
+    if H * C * W * x.dtype.itemsize >= _STREAM_SLAB_BYTES:
+        return _run_fwd_streamed(x, gamma, beta, eps, act, alpha)
     kern = functools.partial(_fwd_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
     bytes_t = 2 * B * H * C * W * x.dtype.itemsize
@@ -210,7 +468,7 @@ def _run_fwd(x, gamma, beta, eps, act, alpha):
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             # the 32ch@256 slab plus double-buffering brushes the 16 MB
             # default scoped-vmem limit; v5e has headroom above it
@@ -226,6 +484,9 @@ def _run_fwd(x, gamma, beta, eps, act, alpha):
 
 def _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
     B, H, C, W = x.shape
+    if H * C * W * x.dtype.itemsize >= _STREAM_SLAB_BYTES:
+        return _run_bwd_streamed(x, gz, gamma, beta, mu, rstd, eps, act,
+                                 alpha)
     kern = functools.partial(_bwd_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
     bytes_t = 3 * B * H * C * W * x.dtype.itemsize
@@ -267,7 +528,7 @@ def _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
         ],
-        interpret=_INTERPRET,
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),

@@ -89,6 +89,51 @@ def test_absent_affine_params_match_nonaffine_norm(act):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("act", ["relu", "leaky_relu", "none"])
+def test_streamed_path_matches_blocked(act, monkeypatch):
+    """The manual-DMA streamed kernels (big-slab fix for the 1.89x-HBM
+    roofline row, VERDICT r2 next #7) must be numerically identical to
+    the blocked path. The dispatch threshold is lowered so a small shape
+    (16 KB slab, 3 stream chunks) exercises the full chunked
+    DMA-in/reduce/DMA-out machinery in interpret mode."""
+    h, c, w = 12, 16, 128
+    monkeypatch.setattr(pallas_norm_act, "_STREAM_SLAB_BYTES", 16 * 1024)
+    monkeypatch.setattr(pallas_norm_act, "_STREAM_CHUNK_BYTES",
+                        4 * 16 * 128 * 2)  # 4-row chunks -> 3 chunks
+    x = _rand((2, h, c, w), seed=21)
+    gamma = 1.0 + 0.1 * _rand((c,), seed=22)
+    beta = 0.1 * _rand((c,), seed=23)
+    ct = _rand((2, h, c, w), seed=24)
+
+    ref_out, ref_vjp = jax.vjp(
+        lambda x, g, b: _ref(x, g, b, act), x, gamma, beta
+    )
+    got_out, got_vjp = jax.vjp(
+        lambda x, g, b: pallas_norm_act.instance_norm_act(
+            x, g, b, 1e-3, act
+        ),
+        x, gamma, beta,
+    )
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    ref_grads = ref_vjp(ct)
+    got_grads = got_vjp(ct)
+    for got, ref in zip(got_grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_streamed_dispatch_at_real_threshold():
+    """At the real 3 MB threshold the 256^2 C32 slab (4 MB) routes to the
+    streamed kernels and the 128^2 C32 slab (1 MB) stays blocked."""
+    assert 256 * 32 * 256 * 2 >= pallas_norm_act._STREAM_SLAB_BYTES
+    assert 128 * 32 * 128 * 2 < pallas_norm_act._STREAM_SLAB_BYTES
+    # the streamed chunking divides every dispatched H evenly
+    for h, c, w in ((256, 32, 256), (512, 16, 512)):
+        ch = pallas_norm_act._stream_chunk(h, c, w)
+        assert h % ch == 0 and ch >= 1
+
+
 def test_bf16_storage_f32_stats():
     x = _rand((2, 4, 16, 128), seed=5, dtype=jnp.bfloat16)
     gamma = jnp.ones((16,), jnp.float32)
@@ -131,19 +176,11 @@ def test_profitable_gate():
     assert not pallas_norm_act.profitable(256, 3, 256)      # C not aligned
 
 
-@pytest.mark.parity
-def test_full_step_fused_path_matches_default():
-    """One full single-backward train step at kernel-dispatching shapes
-    (W=128, 16-channel first level): the NHCW+Pallas fused path must
-    produce the same metrics and updated params as the default NHWC/XLA
-    path within bf16 tolerance. This is the end-to-end guard that the
-    kernel pack (conv, 1x1, pool/upsample, norm+act) is a pure execution
-    detail."""
+def _small_recipe():
     from cyclegan_tpu.config import Namespace
     from cyclegan_tpu.models import create_model
     from cyclegan_tpu.optimizers import get_optimizer
-    from cyclegan_tpu.steps import init_train_state, make_train_step
-    from cyclegan_tpu.ops import pallas_conv, pallas_resize
+    from cyclegan_tpu.steps import init_train_state
 
     gen_cfg = dict(type="unet_generator", filters=[16, 32],
                    kernels=[3, 3], output_channels=3,
@@ -162,6 +199,27 @@ def test_full_step_fused_path_matches_default():
             for k in models}
     state = init_train_state(jax.random.PRNGKey(0), models, opts)
     lw = dict(cycle=2.0, identity=0.5, generator=1.0, discriminator=0.5)
+    return models, opts, state, lw
+
+
+@pytest.mark.parity
+def test_full_step_fused_path_matches_default():
+    """One full single-backward train step at kernel-dispatching shapes
+    (W=128, 16-channel first level): the NHCW+Pallas fused path must
+    produce the same metrics and updated params as the default NHWC/XLA
+    path within bf16 tolerance. This is the end-to-end guard that the
+    kernel pack (conv, 1x1, pool/upsample, norm+act) is a pure execution
+    detail.
+
+    No global pack flags are touched: ``tpu_layout=True`` scopes the pack
+    per trace (ops/packctx.py), and interpret auto-selects on CPU. The
+    test doubles as the coexistence guard — the XLA-path step re-run
+    AFTER the fused step must be bit-identical to its first run (the
+    fused session leaked no dispatch state)."""
+    from cyclegan_tpu.ops import pallas_conv
+    from cyclegan_tpu.steps import make_train_step
+
+    models, opts, state, lw = _small_recipe()
     # H=4, W=128: smallest shape where every kernel gate engages
     # (W lane-aligned for conv/1x1/pool/norm-act; H only needs %2) while
     # CPU interpret-mode stays fast.
@@ -172,29 +230,28 @@ def test_full_step_fused_path_matches_default():
                                compute_dtype="bfloat16")
     ref_state, ref_metrics = ref_step(state, a, b)
 
-    pallas_conv.set_interpret(True)
-    pallas_resize.set_interpret(True)
-    pallas_conv.enable(True)
-    pallas_resize.enable(True)
-    pallas_norm_act.enable(True)
-    try:
-        fused_step = make_train_step(models, opts, "mse", lw, donate=False,
-                                     compute_dtype="bfloat16",
-                                     tpu_layout=True)
-        fused_state, fused_metrics = fused_step(state, a, b)
-    finally:
-        pallas_conv.enable(False)
-        pallas_resize.enable(False)
-        pallas_norm_act.enable(False)
-        pallas_conv.set_interpret(False)
-        pallas_resize.set_interpret(False)
+    fused_step = make_train_step(models, opts, "mse", lw, donate=False,
+                                 compute_dtype="bfloat16",
+                                 tpu_layout=True)
+    fused_state, fused_metrics = fused_step(state, a, b)
+
+    # Scoping leaked nothing: the globals stay off, and a fresh XLA-path
+    # step run after the fused one reproduces the first run exactly.
+    assert not pallas_conv.is_enabled()
+    again_step = make_train_step(models, opts, "mse", lw, donate=False,
+                                 compute_dtype="bfloat16")
+    again_state, again_metrics = again_step(state, a, b)
+    for k in ref_metrics:
+        assert float(again_metrics[k]) == float(ref_metrics[k])
+    r, _ = jax.flatten_util.ravel_pytree(jax.device_get(ref_state.params))
+    g, _ = jax.flatten_util.ravel_pytree(jax.device_get(again_state.params))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
     for k in ref_metrics:
         np.testing.assert_allclose(
             float(fused_metrics[k]), float(ref_metrics[k]),
             rtol=0.05, atol=0.05,
         )
-    r, _ = jax.flatten_util.ravel_pytree(jax.device_get(ref_state.params))
     f, _ = jax.flatten_util.ravel_pytree(jax.device_get(fused_state.params))
     np.testing.assert_allclose(np.asarray(f), np.asarray(r),
                                rtol=0.05, atol=5e-4)
@@ -202,65 +259,78 @@ def test_full_step_fused_path_matches_default():
 
 @pytest.mark.parity
 def test_fused_path_under_data_parallel_mesh():
-    """The NHCW kernel pack must be SPMD-transparent: under a 2-device
-    data-parallel mesh the fused step's metrics match its own
-    single-device run (each shard runs the Pallas kernels on its local
-    batch; XLA inserts the psum)."""
-    from cyclegan_tpu.config import Namespace
-    from cyclegan_tpu.models import create_model
-    from cyclegan_tpu.optimizers import get_optimizer
+    """The NHCW kernel pack must be SPMD-transparent: under the full
+    8-device data-parallel mesh the fused step's metrics and updated
+    params match its own single-device run (each shard runs the Pallas
+    kernels on its local batch; XLA inserts the psum).
+
+    8 devices (the suite's whole virtual mesh) and tight tolerances:
+    DP changes only the gradient-reduction ORDER, so with one sample per
+    device the per-sample forward/backward work is bitwise identical and
+    the only drift is the f32 psum tree vs the single-device batch sum."""
     from cyclegan_tpu.parallel import create_mesh, replicate, shard_batch
-    from cyclegan_tpu.steps import init_train_state, make_train_step
-    from cyclegan_tpu.ops import pallas_conv, pallas_resize
+    from cyclegan_tpu.steps import make_train_step
 
-    gen_cfg = dict(type="unet_generator", filters=[16, 32],
-                   kernels=[3, 3], output_channels=3,
-                   expansion="upsample", normalization="instancenorm",
-                   dropout=False, final_activation="tanh")
-    disc_cfg = dict(gen_cfg, output_channels=1, final_activation="sigmoid")
-    models = {
-        "g_AB": create_model(Namespace(gen_cfg)),
-        "g_BA": create_model(Namespace(gen_cfg)),
-        "d_A": create_model(Namespace(disc_cfg)),
-        "d_B": create_model(Namespace(disc_cfg)),
-    }
-    opts = {k: get_optimizer(Namespace(dict(name="adam",
-                                            learning_rate=2e-4,
-                                            beta_1=0.5)))
-            for k in models}
-    state = init_train_state(jax.random.PRNGKey(0), models, opts)
-    lw = dict(cycle=2.0, identity=0.5, generator=1.0, discriminator=0.5)
-    a = _rand((2, 4, 128, 3), seed=30, dtype=jnp.bfloat16)
-    b = _rand((2, 4, 128, 3), seed=31, dtype=jnp.bfloat16)
+    models, opts, state, lw = _small_recipe()
+    n_dev = min(8, len(jax.devices()))
+    a = _rand((n_dev, 4, 128, 3), seed=30, dtype=jnp.bfloat16)
+    b = _rand((n_dev, 4, 128, 3), seed=31, dtype=jnp.bfloat16)
 
-    pallas_conv.set_interpret(True)
-    pallas_resize.set_interpret(True)
-    pallas_conv.enable(True)
-    pallas_resize.enable(True)
-    pallas_norm_act.enable(True)
-    try:
-        single = make_train_step(models, opts, "mse", lw, donate=False,
-                                 compute_dtype="bfloat16", tpu_layout=True)
-        s1, m1 = single(state, a, b)
+    single = make_train_step(models, opts, "mse", lw, donate=False,
+                             compute_dtype="bfloat16", tpu_layout=True)
+    s1, m1 = single(state, a, b)
 
-        mesh = create_mesh(2)
-        multi = make_train_step(models, opts, "mse", lw, donate=False,
-                                compute_dtype="bfloat16", tpu_layout=True,
-                                mesh=mesh)
-        state_r = replicate(mesh, state)
-        a_s, b_s = shard_batch(mesh, (a, b))
-        s2, m2 = multi(state_r, a_s, b_s)
-    finally:
-        pallas_conv.enable(False)
-        pallas_resize.enable(False)
-        pallas_norm_act.enable(False)
-        pallas_conv.set_interpret(False)
-        pallas_resize.set_interpret(False)
+    mesh = create_mesh(n_dev)
+    multi = make_train_step(models, opts, "mse", lw, donate=False,
+                            compute_dtype="bfloat16", tpu_layout=True,
+                            mesh=mesh)
+    state_r = replicate(mesh, state)
+    a_s, b_s = shard_batch(mesh, (a, b))
+    s2, m2 = multi(state_r, a_s, b_s)
 
     for k in m1:
         np.testing.assert_allclose(float(m2[k]), float(m1[k]),
-                                   rtol=2e-2, atol=2e-2)
+                                   rtol=2e-3, atol=2e-3)
     p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
     p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
     np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
-                               rtol=2e-2, atol=1e-3)
+                               rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parity
+def test_fused_path_under_shard_map_dp():
+    """The shard_map insurance path (steps.make_train_step
+    shard_map_dp=True) with the kernel pack: each device traces the
+    Pallas kernels at per-shard shapes BY CONSTRUCTION (no GSPMD
+    decision about the Mosaic custom call exists inside shard_map).
+    Must match the single-device fused step."""
+    from cyclegan_tpu.parallel import create_mesh, replicate, shard_batch
+    from cyclegan_tpu.steps import make_train_step
+
+    models, opts, state, lw = _small_recipe()
+    n_dev = min(8, len(jax.devices()))
+    a = _rand((n_dev, 4, 128, 3), seed=40, dtype=jnp.bfloat16)
+    b = _rand((n_dev, 4, 128, 3), seed=41, dtype=jnp.bfloat16)
+
+    single = make_train_step(models, opts, "mse", lw, donate=False,
+                             compute_dtype="bfloat16", tpu_layout=True)
+    s1, m1 = single(state, a, b)
+
+    mesh = create_mesh(n_dev)
+    sm = make_train_step(models, opts, "mse", lw, donate=False,
+                         compute_dtype="bfloat16", tpu_layout=True,
+                         mesh=mesh, shard_map_dp=True)
+    state_r = replicate(mesh, state)
+    a_s, b_s = shard_batch(mesh, (a, b))
+    s2, m2 = sm(state_r, a_s, b_s)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=2e-3, atol=2e-3)
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
+    # atol 6e-4 = 3x the Adam lr-step: per-shard local-mean losses vs the
+    # single-device global mean shift small bf16 grads enough for Adam's
+    # normalized update to move a handful of params by ~lr.
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=2e-3, atol=6e-4)
