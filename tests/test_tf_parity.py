@@ -130,6 +130,141 @@ def test_adam_matches_keras():
     np.testing.assert_allclose(np.asarray(params), theirs, atol=1e-6)
 
 
+def test_rmsprop_matches_keras():
+    """Our optax rmsprop(decay=0.9, eps=1e-7, eps_in_sqrt=False) must track
+    Keras RMSprop step-for-step (the reference registry's rmsprop entry,
+    cyclegan/optimizers.py:16-17; Keras applies eps OUTSIDE the sqrt,
+    g / (sqrt(nu) + eps), which eps_in_sqrt=False selects)."""
+    import optax
+
+    from cyclegan_tpu.optimizers import get_optimizer
+
+    w0 = rand(5, 3)
+    grads = [rand(5, 3) for _ in range(6)]
+
+    var = tf.Variable(w0)
+    keras_opt = tf.keras.optimizers.RMSprop(learning_rate=2e-4)
+    for g in grads:
+        keras_opt.apply_gradients([(tf.constant(g), var)])
+    theirs = var.numpy()
+
+    opt = get_optimizer(dict(name="rmsprop", learning_rate=2e-4))
+    params = jnp.asarray(w0)
+    opt_state = opt.init(params)
+    for g in grads:
+        updates, opt_state = opt.update(jnp.asarray(g), opt_state, params)
+        params = optax.apply_updates(params, updates)
+    # atol 5e-6: pure f32 evaluation-order noise (observed max 1.8e-6);
+    # the wrong eps placement (eps_in_sqrt=True) or wrong rho would
+    # diverge orders of magnitude beyond this.
+    np.testing.assert_allclose(np.asarray(params), theirs, atol=5e-6)
+
+
+def test_sgd_matches_keras():
+    """Plain SGD (cyclegan/optimizers.py:18-19): exact step-for-step
+    parity with Keras SGD (no momentum, no nesterov)."""
+    import optax
+
+    from cyclegan_tpu.optimizers import get_optimizer
+
+    w0 = rand(4, 2)
+    grads = [rand(4, 2) for _ in range(4)]
+
+    var = tf.Variable(w0)
+    keras_opt = tf.keras.optimizers.SGD(learning_rate=3e-3)
+    for g in grads:
+        keras_opt.apply_gradients([(tf.constant(g), var)])
+    theirs = var.numpy()
+
+    opt = get_optimizer(dict(name="sgd", learning_rate=3e-3))
+    params = jnp.asarray(w0)
+    opt_state = opt.init(params)
+    for g in grads:
+        updates, opt_state = opt.update(jnp.asarray(g), opt_state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params), theirs, atol=1e-7)
+
+
+def _adabelief_tf_oracle(w0, grads, lr, b1=0.9, b2=0.999, eps=1e-14,
+                         sma_threshold=5.0):
+    """Independent float64 numpy transcription of
+    adabelief_tf.AdaBeliefOptimizer's published dense update (the
+    reference's optimizer, cyclegan/optimizers.py:2,20; package defaults
+    eps=1e-14, rectify=True, weight_decay=0, amsgrad=False). The package
+    itself is not installable here (no egress), so this transcription is
+    the oracle: eps is added INTO the s EMA each step, and the update is
+    RAdam-rectified with a plain-momentum fallback while the variance
+    estimate is untractable (sma_t < threshold)."""
+    w = w0.astype(np.float64).copy()
+    m = np.zeros_like(w)
+    s = np.zeros_like(w)
+    sma_inf = 2.0 / (1.0 - b2) - 1.0
+    for t, g in enumerate(grads, start=1):
+        g = g.astype(np.float64)
+        m = b1 * m + (1 - b1) * g
+        s = b2 * s + (1 - b2) * (g - m) ** 2 + eps
+        m_hat = m / (1 - b1 ** t)
+        s_hat = s / (1 - b2 ** t)
+        sma_t = sma_inf - 2.0 * t * b2 ** t / (1 - b2 ** t)
+        if sma_t >= sma_threshold:
+            r_t = np.sqrt(
+                (sma_t - 4) * (sma_t - 2) * sma_inf
+                / ((sma_inf - 4) * (sma_inf - 2) * sma_t)
+            )
+            w -= lr * r_t * m_hat / (np.sqrt(s_hat) + eps)
+        else:
+            w -= lr * m_hat
+    return w.astype(np.float32)
+
+
+def test_adabelief_matches_adabelief_tf_semantics():
+    """Registry adabelief (optimizers.adabelief_tf_update) must track the
+    adabelief_tf algorithm step-for-step. optax.adabelief would fail
+    this: no rectification, eps outside the accumulator — that is
+    exactly the semantic delta this test pins.
+
+    Two parts: (a) the registry entry (package defaults, b2=0.999) over
+    the early momentum-fallback regime (t<=4, where sma_t <= 4.0 stays a
+    full 1.0 below the threshold — at default b2 the t=5 gate value is
+    4.996, within f32 error of 5.0, so crossing the gate is exercised at
+    (b) b2=0.99 instead, where every step sits >=0.04 from the
+    boundary and f32 vs the f64 oracle cannot disagree on the branch."""
+    import optax
+
+    from cyclegan_tpu.optimizers import adabelief_tf_update, get_optimizer
+
+    lr = 1e-3
+    w0 = rand(5, 3)
+    grads = [rand(5, 3) for _ in range(10)]
+
+    def run(opt, n):
+        params = jnp.asarray(w0)
+        opt_state = opt.init(params)
+        for g in grads[:n]:
+            updates, opt_state = opt.update(jnp.asarray(g), opt_state,
+                                            params)
+            params = optax.apply_updates(params, updates)
+        return np.asarray(params)
+
+    # (a) registry defaults, momentum-fallback regime
+    opt = get_optimizer(dict(name="adabelief", learning_rate=lr))
+    theirs = _adabelief_tf_oracle(w0, np.stack(grads[:4]), lr)
+    np.testing.assert_allclose(run(opt, 4), theirs, rtol=1e-6, atol=1e-7)
+
+    # after ONE step the update must be exactly -lr * g (m_hat == g at
+    # t=1) — pins that the early branch really is the momentum fallback.
+    one = opt.init(jnp.asarray(w0))
+    upd, _ = opt.update(jnp.asarray(grads[0]), one, jnp.asarray(w0))
+    np.testing.assert_allclose(np.asarray(upd), -lr * grads[0], rtol=1e-6)
+
+    # (b) gate crossing at b2=0.99 (opens at t=6): both branches plus
+    # the rectified r_t math, 10 steps
+    opt99 = adabelief_tf_update(lr, b2=0.99)
+    theirs99 = _adabelief_tf_oracle(w0, np.stack(grads), lr, b2=0.99)
+    np.testing.assert_allclose(run(opt99, 10), theirs99, rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_instance_norm_matches_tf_nn_formulation():
     """tfa InstanceNormalization == per-(N,C) moments + (x-m)/sqrt(v+1e-3),
     computed here with tf.nn.moments as the independent reference."""
