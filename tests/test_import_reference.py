@@ -47,21 +47,61 @@ def _attr_name(weight) -> str:
     return weight.name.split("/")[-1].split(":")[0]
 
 
-def write_reference_savedmodel(dst: Path, tf_model) -> None:
+def write_reference_savedmodel(dst: Path, tf_model,
+                               tf27_extras: bool = True) -> None:
     """Write <dst>/variables/variables.* with the TF-2.x Keras SavedModel
-    object-graph checkpoint keys (layer_with_weights-N/<attr>/...)."""
+    object-graph checkpoint keys (layer_with_weights-N/<attr>/...).
+
+    ``tf27_extras`` reproduces the FULL key space a genuine TF-2.7
+    ``model.save()`` checkpoint carries (VERDICT r2 next #8): per-variable
+    ``.OPTIMIZER_SLOT`` m/v mirrors, ``optimizer/*`` iteration +
+    hyperparameters, ``save_counter``, ``keras_api`` metric counters and
+    the serialized ``_CHECKPOINTABLE_OBJECT_GRAPH`` — written with
+    tf.raw_ops.SaveV2, which takes the key strings verbatim, so the
+    fabricated layout is byte-convention-identical to the real artifact's
+    (cyclegan/model.py:304-312)."""
     weight_layers = [l for l in tf_model.layers if l.get_weights()]
-    root = tf.train.Checkpoint()
-    keep_alive = []
+    names, tensors = [], []
     for i, layer in enumerate(weight_layers):
-        sub = tf.train.Checkpoint()
         for w, arr in zip(layer.weights, layer.get_weights()):
-            setattr(sub, _attr_name(w), tf.Variable(arr))
-        setattr(root, f"layer_with_weights-{i}", sub)
-        keep_alive.append(sub)
+            base = f"layer_with_weights-{i}/{_attr_name(w)}"
+            names.append(f"{base}/.ATTRIBUTES/VARIABLE_VALUE")
+            tensors.append(tf.constant(arr))
+            if tf27_extras:
+                for slot in ("m", "v"):
+                    names.append(
+                        f"{base}/.OPTIMIZER_SLOT/optimizer/{slot}"
+                        "/.ATTRIBUTES/VARIABLE_VALUE"
+                    )
+                    tensors.append(tf.constant(np.zeros_like(arr)))
+    if tf27_extras:
+        extras = {
+            "optimizer/iter/.ATTRIBUTES/VARIABLE_VALUE":
+                tf.constant(1234, tf.int64),
+            "optimizer/beta_1/.ATTRIBUTES/VARIABLE_VALUE": tf.constant(0.5),
+            "optimizer/beta_2/.ATTRIBUTES/VARIABLE_VALUE":
+                tf.constant(0.999),
+            "optimizer/decay/.ATTRIBUTES/VARIABLE_VALUE": tf.constant(0.0),
+            "optimizer/learning_rate/.ATTRIBUTES/VARIABLE_VALUE":
+                tf.constant(2e-4),
+            "save_counter/.ATTRIBUTES/VARIABLE_VALUE":
+                tf.constant(1, tf.int64),
+            "keras_api/metrics/0/total/.ATTRIBUTES/VARIABLE_VALUE":
+                tf.constant(0.0),
+            "keras_api/metrics/0/count/.ATTRIBUTES/VARIABLE_VALUE":
+                tf.constant(0.0),
+            "_CHECKPOINTABLE_OBJECT_GRAPH": tf.constant(b""),
+        }
+        names.extend(extras)
+        tensors.extend(extras.values())
     prefix = dst / "variables" / "variables"
     prefix.parent.mkdir(parents=True)
-    root.write(str(prefix))
+    tf.raw_ops.SaveV2(
+        prefix=str(prefix),
+        tensor_names=names,
+        shape_and_slices=[""] * len(names),
+        tensors=tensors,
+    )
     (dst / "saved_model.pb").write_bytes(b"")  # importer never parses it
 
 
@@ -120,6 +160,72 @@ def test_read_savedmodel_layers_roundtrip(reference_artifact):
     for lv, layer in zip(layers, weight_layers):
         for w, arr in zip(layer.weights, layer.get_weights()):
             np.testing.assert_array_equal(lv[_attr_name(w)], arr)
+
+
+def test_read_tf27_style_checkpoint(reference_artifact, caplog):
+    """The fixture checkpoints carry the genuine TF-2.7 key space
+    (optimizer slots, hypers, save_counter, keras_api, object graph) —
+    read_savedmodel_layers must extract exactly the weight layers,
+    classify every skipped key as expected (no 'unrecognized' warnings),
+    and the weights must be untouched by the slot keys that share their
+    prefixes."""
+    import logging
+
+    folder, tf_models, _ = reference_artifact
+    with caplog.at_level(logging.INFO,
+                         logger="cyclegan_tpu.apps.import_reference"):
+        layers = read_savedmodel_layers(folder / "g_AB")
+    weight_layers = [l for l in tf_models["g_AB"].layers if l.get_weights()]
+    assert len(layers) == len(weight_layers)
+    kinds = {r.message.split("skipped")[1].split("key(s)")[0].split()[-1]
+             for r in caplog.records if "skipped" in r.message}
+    assert "optimizer-slot" in kinds
+    assert "bookkeeping" in kinds
+    assert not any("unrecognized" in k.lower() for k in kinds), kinds
+    # slot mirrors are all-zero in the fixture; weights are not — proves
+    # the slot keys did not leak into the weight extraction
+    assert any(np.abs(a).sum() > 0 for lv in layers for a in lv.values())
+
+
+def test_read_rejects_non_contiguous_layers(tmp_path):
+    """A truncated checkpoint (gap in layer_with_weights-N) must raise a
+    clear ValueError, not a bare assert."""
+    names = [
+        "layer_with_weights-0/kernel/.ATTRIBUTES/VARIABLE_VALUE",
+        "layer_with_weights-2/kernel/.ATTRIBUTES/VARIABLE_VALUE",
+    ]
+    prefix = tmp_path / "m" / "variables" / "variables"
+    prefix.parent.mkdir(parents=True)
+    tf.raw_ops.SaveV2(
+        prefix=str(prefix), tensor_names=names,
+        shape_and_slices=["", ""],
+        tensors=[tf.constant(np.ones((1, 1), np.float32))] * 2,
+    )
+    with pytest.raises(ValueError, match="not.*contiguous|missing"):
+        read_savedmodel_layers(tmp_path / "m")
+
+
+def test_read_warns_on_unknown_keys(tmp_path, caplog):
+    """Keys outside every known TF-2.7 category get a loud warning but do
+    not fail the import."""
+    import logging
+
+    names = [
+        "layer_with_weights-0/kernel/.ATTRIBUTES/VARIABLE_VALUE",
+        "some_future_tf_feature/state/.ATTRIBUTES/VARIABLE_VALUE",
+    ]
+    prefix = tmp_path / "m" / "variables" / "variables"
+    prefix.parent.mkdir(parents=True)
+    tf.raw_ops.SaveV2(
+        prefix=str(prefix), tensor_names=names,
+        shape_and_slices=["", ""],
+        tensors=[tf.constant(np.ones((1, 1), np.float32))] * 2,
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="cyclegan_tpu.apps.import_reference"):
+        layers = read_savedmodel_layers(tmp_path / "m")
+    assert len(layers) == 1
+    assert any("unrecognized" in r.message for r in caplog.records)
 
 
 @pytest.fixture(scope="module")
