@@ -173,14 +173,20 @@ def compute_quality(images_a: np.ndarray, images_b: np.ndarray,
                     extractor: Optional[Callable] = None,
                     seed: int = 0) -> dict:
     """All three statistics between two image sets. ``extractor=None``
-    uses the fixed random-feature stack (proxy mode, documented above)."""
-    if extractor is None:
+    uses the fixed random-feature stack (proxy mode, documented above;
+    keys are then ``fid_proxy``/``kid_proxy``). With a real pretrained
+    extractor — e.g. ``utils.extractor.load_extractor`` on an exported
+    InceptionV3 — the Fréchet/kernel statistics ARE FID/KID and the keys
+    say so."""
+    proxy = extractor is None
+    if proxy:
         extractor = make_random_feature_extractor(seed=seed)
     fa = extractor(images_a)
     fb = extractor(images_b)
+    suffix = "_proxy" if proxy else ""
     return {
-        "fid_proxy": round(frechet_distance(fa, fb), 4),
-        "kid_proxy": round(kernel_inception_distance(fa, fb), 6),
+        f"fid{suffix}": round(frechet_distance(fa, fb), 4),
+        f"kid{suffix}": round(kernel_inception_distance(fa, fb), 6),
         "swd": round(sliced_wasserstein(images_a, images_b, seed=seed), 4),
         "n_a": int(len(np.asarray(images_a))),
         "n_b": int(len(np.asarray(images_b))),
