@@ -36,8 +36,9 @@ from cyclegan_tpu.steps import init_train_state, make_train_step
 BATCH, SIZE = 8, 256
 
 
-def build(tpu_layout: bool):
-    model_config = yaml2namespace("configs/cycle.yaml")
+def build(tpu_layout: bool, model_config_path: str = "configs/cycle.yaml",
+          batch: int = BATCH, fuse_apps: bool = False):
+    model_config = yaml2namespace(model_config_path)
     train_config = yaml2namespace("configs/training_config.yaml")
     models = {
         "g_AB": create_model(model_config.generator),
@@ -54,9 +55,9 @@ def build(tpu_layout: bool):
     train = make_train_step(models, optimizers, model_config.loss,
                             dict(model_config.loss_weights), donate=False,
                             compute_dtype="bfloat16",
-                            tpu_layout=tpu_layout)
+                            tpu_layout=tpu_layout, fuse_apps=fuse_apps)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (BATCH, SIZE, SIZE, 3))
+    x = jnp.asarray(rng.uniform(-1, 1, (batch, SIZE, SIZE, 3))
                     ).astype(jnp.bfloat16)
     return train, state, x
 
@@ -141,6 +142,13 @@ def main():
     ap.add_argument("--pallas-norm-act", action="store_true")
     ap.add_argument("--pallas-concat", action="store_true")
     ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--model_config", default="configs/cycle.yaml",
+                    help="trace a different recipe (e.g. "
+                    "configs/unet_patchgan.yaml, configs/resnet.yaml)")
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--fuse-apps", action="store_true",
+                    help="batch the two generators' independent applies "
+                    "(the resnet recipe's shipped default)")
     ap.add_argument("--out", default="/tmp/trace_step")
     ap.add_argument("--parse-only", action="store_true",
                     help="skip capture; re-parse the newest trace under "
@@ -177,7 +185,8 @@ def main():
 
         pallas_concat.enable(True)
 
-    train, state, x = build(args.nhcw)
+    train, state, x = build(args.nhcw, args.model_config, args.batch,
+                            args.fuse_apps)
 
     # warm up (compile) outside the trace
     s = state

@@ -59,6 +59,15 @@ def parse_arguments():
         "image analog of sequence parallelism, parallel/spatial.py); "
         "the remaining num_devices/spatial_devices stay data-parallel.",
     )
+    parser.add_argument(
+        "--dp_shard_map",
+        action="store_true",
+        help="Route data parallelism through an explicit jax.shard_map "
+        "instead of GSPMD sharding annotations (each chip traces the "
+        "step — and any Pallas custom calls — at per-shard shapes by "
+        "construction; the kernel-pack multi-chip insurance path, "
+        "steps.make_train_step docstring).",
+    )
     # Multi-process pod launch (one process per host, same command on
     # every host): --distributed alone auto-detects coordinator/process
     # topology from the TPU pod metadata (jax.distributed.initialize with
@@ -122,6 +131,8 @@ def main():
         mesh = create_mesh(num_devices)
         logger.info("devices: %s (mesh size %d)", jax.devices(), num_devices)
 
+    if args.dp_shard_map:
+        training_config.dp_shard_map = True
     gan = CycleGan(model_config, training_config, mesh=mesh)
 
     records_a = sorted(map(str, (args.data_dir / "tabby_records").glob("*.tfrecords")))
