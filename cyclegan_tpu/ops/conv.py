@@ -15,12 +15,20 @@ kernel (ops/pallas_conv.py) — the small-channel U-Net layers where XLA's
 NHWC conv leaves the MXU 7/8 idle.
 """
 
+import os
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from jax import lax
 
 from cyclegan_tpu.ops import layout
+
+# Under the NHCW layout, convs the Pallas kernel does NOT take (stride>1,
+# VALID, unprofitable shapes) fall back to XLA. XLA's NHCW conv lowering
+# measured 0.2-7 TF/s on v5e (resnet-recipe trace, BASELINE.md round 3);
+# "nhwc" (default) sandwiches the fallback in two explicit transposes and
+# runs XLA's native NHWC lowering instead.
+_FALLBACK_NHWC = os.environ.get("PALLAS_FALLBACK_CONV", "nhwc") == "nhwc"
 
 # NHWC activations, HWIO kernels.
 _DN_CONV = ("NHWC", "HWIO", "NHWC")
@@ -90,6 +98,27 @@ def conv2d(
             if bias is not None:
                 y = y + layout.channel_param(bias)
             return y.astype(x.dtype)
+        if _FALLBACK_NHWC:
+            # XLA's NHCW (channel-in-sublane) conv lowering is
+            # catastrophically slow on TPU — traced at 0.2-7 TF/s on the
+            # resnet recipe's stride-2/VALID convs vs 25-60 TF/s for the
+            # native NHWC lowering. Fallback convs therefore run in NHWC
+            # between two explicit transposes; the relayout pair costs
+            # ~2 tensor volumes of HBM, orders of magnitude less than the
+            # NHCW conv penalty. A/B knob: PALLAS_FALLBACK_CONV=nhcw
+            # restores the old path.
+            xt = jnp.transpose(x, (0, 1, 3, 2))  # NHCW -> NHWC
+            out = lax.conv_general_dilated(
+                xt,
+                kernel,
+                window_strides=(stride, stride),
+                padding=padding,
+                dimension_numbers=_DN_CONV,
+                precision=_precision_for(x),
+            )
+            if bias is not None:
+                out = out + bias
+            return jnp.transpose(out, (0, 1, 3, 2)).astype(x.dtype)
         out = lax.conv_general_dilated(
             x,
             kernel,
@@ -146,6 +175,22 @@ def conv2d_transpose(
     pad_h = (kh - 1 - pb_h, stride - 1 + pb_h)
     pad_w = (kw - 1 - pb_w, stride - 1 + pb_w)
     flipped = kernel[::-1, ::-1, :, :]
+    if layout.is_nhcw() and _FALLBACK_NHWC:
+        # Same NHWC-sandwich as conv2d's fallback: XLA's NHCW transposed-
+        # conv lowering measured 0.2 TF/s on the resnet upsamples.
+        xt = jnp.transpose(x, (0, 1, 3, 2))
+        out = lax.conv_general_dilated(
+            xt,
+            flipped,
+            window_strides=(1, 1),
+            padding=(pad_h, pad_w),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=_DN_CONV_T,
+            precision=_precision_for(x),
+        )
+        if bias is not None:
+            out = out + bias
+        return jnp.transpose(out, (0, 1, 3, 2)).astype(x.dtype)
     out = lax.conv_general_dilated(
         x,
         flipped,

@@ -201,12 +201,16 @@ def _scalars(p: Optional[jnp.ndarray], C: int, fill: float) -> jnp.ndarray:
 # chunk i's compute, at half the resident footprint of the automatic
 # pipeline.
 _STREAM_SLAB_BYTES = 3 * 1024 * 1024
-# In-DMA chunk rows: ~512 KB arrivals keep the wait granularity fine
-# enough to overlap the first compute with the remaining copies, while
-# holding the per-chunk f32 working set small enough that xbuf+gbuf
-# (2 x 4 MB at the largest dispatched slab) plus temporaries stay inside
-# the 16 MB VMEM.
-_STREAM_CHUNK_BYTES = 512 * 1024
+# In-DMA chunk rows. On-chip sweep at 256^2 C32 fwd+bwd (v5e, marginal
+# chain): 64K 337.6us (1.65x HBM) < 128K 1.73x ~ 256K 1.71x < 512K 1.83x
+# < 1M 1.92x < 2M 1.96x — fine arrivals overlap the VPU passes best (the
+# backward is compute-bound at ~20 f32 ops/element, so the win comes from
+# keeping the DMA queue ahead of short compute bursts, not from raw
+# bandwidth). Env knob PALLAS_NORM_STREAM_CHUNK for re-sweeps.
+_STREAM_CHUNK_BYTES = int(
+    __import__("os").environ.get("PALLAS_NORM_STREAM_CHUNK",
+                                 str(64 * 1024))
+)
 
 
 def _stream_chunk(H: int, C: int, W: int, itemsize: int = 2) -> int:
@@ -340,7 +344,6 @@ def _bwd_stream_kernel(x_hbm, gz_hbm, g_ref, b_ref, mu_ref, rstd_ref,
 
 def _run_fwd_streamed(x, gamma, beta, eps, act, alpha):
     B, H, C, W = x.shape
-    slab = H * C * W * x.dtype.itemsize
     n = H // _stream_chunk(H, C, W)
     kern = functools.partial(_fwd_stream_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
@@ -374,7 +377,12 @@ def _run_fwd_streamed(x, gamma, beta, eps, act, alpha):
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=slab + 8 * 1024 * 1024,
+            # Generous scoped limit like the blocked kernels (v5e has
+            # headroom above the 16 MB default): the STREAMED path's real
+            # footprint is the single-buffered slabs + chunk f32 temps;
+            # a tight limit measured 136 KB short on hardware (Mosaic's
+            # stack accounting of the pass temporaries).
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * B * H * C * W, bytes_accessed=bytes_t,
@@ -386,7 +394,6 @@ def _run_fwd_streamed(x, gamma, beta, eps, act, alpha):
 
 def _run_bwd_streamed(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
     B, H, C, W = x.shape
-    slab = H * C * W * x.dtype.itemsize
     n = H // _stream_chunk(H, C, W)
     kern = functools.partial(_bwd_stream_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
@@ -427,7 +434,7 @@ def _run_bwd_streamed(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=2 * slab + 8 * 1024 * 1024,
+            vmem_limit_bytes=64 * 1024 * 1024,  # see _run_fwd_streamed note
         ),
         cost_estimate=pl.CostEstimate(
             flops=16 * B * H * C * W, bytes_accessed=bytes_t,
