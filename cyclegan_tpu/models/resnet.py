@@ -23,10 +23,10 @@ from cyclegan_tpu.models.base import (
 )
 from cyclegan_tpu.ops import (
     conv2d,
+    conv2d_reflect,
     conv2d_transpose,
     instance_norm,
     leaky_relu,
-    reflection_pad2d,
 )
 
 N_RESIDUAL_BLOCKS = 9  # cyclegan/resnet.py:71-79
@@ -66,9 +66,9 @@ def resnet_generator(config: Mapping[str, Any]) -> Model:
 
     def apply(params, state, x, train=False, rng=None):
         del state, train, rng  # purely instance-normed, stateless
-        # conv7s1 stem (resnet.py:38-46)
-        x = reflection_pad2d(x, (3, 3))
-        x = conv2d(x, params["stem"]["w"], params["stem"]["b"], padding="VALID")
+        # conv7s1 stem (resnet.py:38-46): reflect-pad(3) + VALID — the
+        # Pallas-or-XLA dispatch lives in ops.conv2d_reflect
+        x = conv2d_reflect(x, params["stem"]["w"], params["stem"]["b"])
         x = jax.nn.relu(instance_norm(x))
         # two stride-2 downsamples (resnet.py:49-53)
         for p in params["down"]:
@@ -76,11 +76,9 @@ def resnet_generator(config: Mapping[str, Any]) -> Model:
             x = jax.nn.relu(instance_norm(x))
         # residual blocks (resnet.py:26-35)
         for p in params["res"]:
-            y = reflection_pad2d(x, (1, 1))
-            y = conv2d(y, p["conv1"]["w"], p["conv1"]["b"], padding="VALID")
+            y = conv2d_reflect(x, p["conv1"]["w"], p["conv1"]["b"])
             y = jax.nn.relu(instance_norm(y))
-            y = reflection_pad2d(y, (1, 1))
-            y = conv2d(y, p["conv2"]["w"], p["conv2"]["b"], padding="VALID")
+            y = conv2d_reflect(y, p["conv2"]["w"], p["conv2"]["b"])
             y = instance_norm(y)
             x = x + y
         # two stride-2 upsamples (resnet.py:56-60)
@@ -88,8 +86,7 @@ def resnet_generator(config: Mapping[str, Any]) -> Model:
             x = conv2d_transpose(x, p["w"], p["b"], stride=2)
             x = jax.nn.relu(instance_norm(x))
         # tanh head (resnet.py:42-43)
-        x = reflection_pad2d(x, (3, 3))
-        x = conv2d(x, params["head"]["w"], params["head"]["b"], padding="VALID")
+        x = conv2d_reflect(x, params["head"]["w"], params["head"]["b"])
         return jnp.tanh(x), {}
 
     return Model(init=init, apply=apply, batchable=True)

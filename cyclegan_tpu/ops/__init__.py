@@ -8,7 +8,7 @@ shardable under pjit. Parameter-creating layers live in
 from cyclegan_tpu.ops import layout
 from cyclegan_tpu.ops.activations import apply_activation, leaky_relu
 from cyclegan_tpu.ops.layout import concat_channels
-from cyclegan_tpu.ops.conv import conv2d, conv2d_transpose
+from cyclegan_tpu.ops.conv import conv2d, conv2d_reflect, conv2d_transpose
 from cyclegan_tpu.ops.norm import batch_norm_stats, instance_norm
 from cyclegan_tpu.ops.pad import reflection_pad2d
 from cyclegan_tpu.ops.pool import avg_pool2x2
@@ -53,6 +53,7 @@ __all__ = [
     "layout",
     "leaky_relu",
     "conv2d",
+    "conv2d_reflect",
     "conv2d_transpose",
     "instance_norm",
     "batch_norm_stats",

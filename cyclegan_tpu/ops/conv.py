@@ -143,6 +143,39 @@ def conv2d(
     return out.astype(x.dtype)
 
 
+def conv2d_reflect(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reflect-pad(K//2) + VALID convolution, odd K — the reference's
+    ReflectionPadding2D + Conv2D(padding='valid') pattern
+    (cyclegan/resnet.py:38-46, 26-35). Output H/W == input H/W.
+
+    Under the NHCW layout with the kernel pack enabled, bf16 shapes that
+    pass ``pallas_conv.profitable_reflect`` dispatch to the lane-dense
+    Pallas kernel (XLA lowers the resnet stem/head's narrow-channel
+    reflect convs at 0.2-5 TF/s in any layout — BASELINE.md round 3);
+    everything else composes reflection_pad2d + the VALID conv fallback.
+    """
+    from cyclegan_tpu.ops.pad import reflection_pad2d
+
+    k = int(kernel.shape[0])
+    p = k // 2
+    if layout.is_nhcw() and x.dtype == jnp.bfloat16:
+        from cyclegan_tpu.ops import pallas_conv
+
+        if pallas_conv.is_enabled() and pallas_conv.profitable_reflect(
+            x.shape[1], x.shape[3], kernel.shape[2], kernel.shape[3], k
+        ):
+            y = pallas_conv.conv2d_reflect_nhcw(x, kernel)
+            if bias is not None:
+                y = y + layout.channel_param(bias)
+            return y.astype(x.dtype)
+    return conv2d(reflection_pad2d(x, (p, p)), kernel, bias,
+                  padding="VALID")
+
+
 def _tf_same_pad(kernel: int, stride: int) -> Tuple[int, int]:
     """TF 'SAME' (pad_before, pad_after) for an input divisible by stride."""
     pad_total = max(kernel - stride, 0)

@@ -959,6 +959,147 @@ def _conv1x1_bwd_rule(res, g):
 conv1x1_nhcw.defvjp(_conv1x1_fwd_rule, _conv1x1_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Reflect-padded convolution (the resnet recipe's conv pattern).
+#
+# Motivation (trace, TPU v5e, configs/resnet.yaml): the reference's
+# canonical builders wrap every generator conv in
+# ReflectionPadding2D + VALID (cyclegan/resnet.py:38-46,26-35), which the
+# SAME-only dispatch gate rejected — so the resnet recipe ran ZERO Pallas
+# kernels and XLA lowered its narrow-channel 7x7 stem/head convs at
+# 0.2-5 TF/s in ANY layout (the stem dW alone: 4.93 GF in 22.8 ms,
+# 0.2 TF/s — the single worst op of the 115.6 ms step; the stem/head
+# family totalled ~45 ms). Reflect-pad + VALID at odd K is exactly
+# 'SAME with reflect semantics', so these are the same narrow-channel
+# shapes the factored-im2col kernel already beats XLA 2-3x on.
+#
+# Design: the reflect halo is materialized by ONE XLA pad (differentiable;
+# its transpose — the halo-gradient fold-back — is XLA's own scatter-add)
+# and the conv runs in the kernel's pre-padded mode (`_conv_nhcw_padded`
+# with ptop=pleft=0), whose VJP machinery (mirror-padded dX, patch-vs-dY
+# dW) is shared with the SAME path. C_out is padded to the 16-row sublane
+# tile internally (the 32->3 head is precisely the XLA-pathological case,
+# so narrow heads are admitted, unlike the SAME gate).
+# ---------------------------------------------------------------------------
+
+
+def profitable_reflect(height: int, width: int, cin: int, cout: int,
+                       kernel: int) -> bool:
+    """Dispatch gate for reflect-padded VALID convs (output H/W == input
+    H/W; odd K only — the reference uses k7 and k3). Pre-padded mode: no
+    batch-packing, so W must be lane-aligned outright; cin caps follow
+    `profitable` (same kernel, same crossovers); cout is only sublane-
+    capped (it is padded internally — XLA's narrow-cout reflect convs are
+    the 0.2 TF/s pathology this kernel exists to fix)."""
+    if kernel % 2 != 1:
+        return False
+    structural = (
+        height % 2 == 0
+        and width % 128 == 0
+        and kernel * kernel * _round_up(cin, 16) >= 128
+        and cout <= 64
+    )
+    if not structural:
+        return False
+    if kernel >= 5:
+        return cin <= 96
+    return cin <= 64
+
+
+def _reflect_pad_nhcw(x: jnp.ndarray, p: int, C_pad: int) -> jnp.ndarray:
+    """Reflect-pad H and W by p (edge not repeated — the reference's
+    ReflectionPadding2D semantics), zero-pad channels to C_pad and lanes
+    to the 128 multiple."""
+    B, H, C, W = x.shape
+    xr = jnp.pad(x, ((0, 0), (p, p), (0, 0), (p, p)), mode="reflect")
+    W_lane = _round_up(W + 2 * p, 128)
+    return jnp.pad(xr, ((0, 0), (0, 0), (0, C_pad - C),
+                        (0, W_lane - W - 2 * p)))
+
+
+@jax.custom_vjp
+def conv2d_reflect_nhcw(x: jnp.ndarray, w_hwio: jnp.ndarray) -> jnp.ndarray:
+    """Reflect-pad(K//2) + VALID conv, odd K (== the reference's
+    ReflectionPadding2D + Conv2D(padding='valid'), cyclegan/resnet.py:
+    38-46). x: [B, H, C, W] NHCW; w: [K, K, C, Cout] HWIO. Returns
+    [B, H, Cout, W]."""
+    return _conv_reflect_fwd_impl(x, w_hwio)
+
+
+def _conv_reflect_fwd_impl(x, w_hwio):
+    K = int(w_hwio.shape[0])
+    p = K // 2
+    B, H, C, W = x.shape
+    C_pad = _round_up(C, 16)
+    Cout = int(w_hwio.shape[3])
+    Cout_pad = _round_up(Cout, 16)
+    wp = w_hwio if Cout == Cout_pad else jnp.pad(
+        w_hwio, ((0, 0), (0, 0), (0, 0), (0, Cout_pad - Cout)))
+    w2 = _repack_fwd(wp.astype(x.dtype), C_pad, flip=False, swap=False)
+    xp = _reflect_pad_nhcw(x, p, C_pad)
+    y = _conv_nhcw_padded(xp, w2, K, H, W)
+    return y[:, :, :Cout, :] if Cout != Cout_pad else y
+
+
+def _conv_reflect_fwd_rule(x, w_hwio):
+    return _conv_reflect_fwd_impl(x, w_hwio), (x, w_hwio)
+
+
+def _conv_reflect_bwd_rule(res, g):
+    x, w_hwio = res
+    K = int(w_hwio.shape[0])
+    p = K // 2
+    B, H, C, W = x.shape
+    Cin_pad = _round_up(C, 16)
+    Cout = int(w_hwio.shape[3])
+    Cout_pad = _round_up(Cout, 16)
+
+    gi = _pad_channels(g, Cout_pad).astype(x.dtype)
+
+    # dXp (grad wrt the reflect-PADDED input, full correlation): pad dy
+    # by K-1 and run the flipped/swapped kernel; output [B, H+2p, ., W+2p].
+    w_t = _repack_fwd(w_hwio.astype(g.dtype), Cout_pad, flip=True,
+                      swap=True)
+    if C != Cin_pad:
+        cin_axis_pad = ((0, 0), (0, Cin_pad - C)) \
+            if (_W_DEPTH_MAJOR and not _FWD_STACKED) \
+            else ((0, Cin_pad - C), (0, 0))
+        w_t = jnp.pad(w_t, cin_axis_pad)
+    # Full correlation over the PADDED domain: output row h' of dxp reads
+    # dy rows h' - (K-1) .. h', so dy carries a K-1 zero halo on every
+    # leading side (pre-padded mode, ptop=pleft=0).
+    Hp, Wp = H + 2 * p, W + 2 * p
+    W_lane = _round_up(Wp + K - 1, 128)
+    gp = jnp.pad(gi, ((0, 0), (K - 1, K - 1), (0, 0),
+                      (K - 1, W_lane - W - (K - 1))))
+    dxp = _conv_nhcw_padded(gp, w_t, K, Hp, Wp)[:, :, :C, :]
+
+    # Fold the halo gradients back through the reflect map (the transpose
+    # of 'reflect' padding: halo row -j came from interior row +j).
+    # Sequential per axis — H folded over the FULL padded width first,
+    # then W — so the corner halos (reflected in both axes) land
+    # correctly; folding each axis from the middle band alone drops them.
+    if p:
+        t = dxp[:, p:p + H]
+        t = t.at[:, 1:1 + p].add(dxp[:, :p][:, ::-1])
+        t = t.at[:, H - 1 - p:H - 1].add(dxp[:, p + H:][:, ::-1])
+        dx = t[:, :, :, p:p + W]
+        dx = dx.at[:, :, :, 1:1 + p].add(t[:, :, :, :p][:, :, :, ::-1])
+        dx = dx.at[:, :, :, W - 1 - p:W - 1].add(
+            t[:, :, :, p + W:][:, :, :, ::-1])
+    else:
+        dx = dxp
+
+    # dW: patches of the reflect-padded input vs dY (pre-padded mode).
+    xp = _reflect_pad_nhcw(x, p, Cin_pad)
+    dw_flat = _conv_dw_padded(xp, gi, K, H, W, Cout_pad)
+    dw = dw_flat.T.reshape(K, K, Cin_pad, Cout_pad)[:, :, :C, :Cout]
+    return dx.astype(x.dtype), dw.astype(w_hwio.dtype)
+
+
+conv2d_reflect_nhcw.defvjp(_conv_reflect_fwd_rule, _conv_reflect_bwd_rule)
+
+
 def conv2d_nhwc_fused(x: jnp.ndarray, kernel: jnp.ndarray,
                       bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """NHWC wrapper: transpose to NHCW, run the lane-dense kernel,
