@@ -57,6 +57,9 @@ SHAPES = [
     (8, 64, 64, 32, 64, 3),     # disc down conv1 @64
     (8, 64, 64, 64, 64, 3),     # disc down conv2 @64
     (8, 64, 64, 192, 64, 4),    # gen up concat conv @64
+    # resnet trunk (configs/resnet.yaml, fuse_apps batch 16): the k3
+    # C128 residual convs @64^2 — XLA traced at ~5 TF/s (round 3)
+    (16, 64, 64, 128, 128, 3),  # index 29
 ]
 
 
