@@ -223,7 +223,8 @@ def _choose_rows(height: int, width: int, k: int, c: int,
 
 
 def _fill_shifted(rows, shifted, K, C, W, n_rows, *, W_in=None,
-                  C_src=None, pleft=0, ptop=0, R=None, H_img=None, P=1):
+                  C_src=None, pleft=0, ptop=0, R=None, H_img=None, P=1,
+                  H_out=None):
     """Build the dx-shifted slab: shifted[dx*C+c, j*W+w] = x[c, dx+w-pleft]
     for the image row behind slab row j (zero outside the image).
 
@@ -291,7 +292,15 @@ def _fill_shifted(rows, shifted, K, C, W, n_rows, *, W_in=None,
                             base + s0 - shift:base + s1 - shift] = piece
 
         may_hang_top = j < ptop
-        may_hang_bot = kernel_pad and j >= R + ptop
+        # Bottom-hang: can slab row j read past the input on the LAST
+        # grid step?  (H_out // R - 1) * R + j - ptop >= H_img.  When the
+        # output domain equals the image (the SAME path) this reduces to
+        # the classic j >= R + ptop; the reflect dX conv runs an output
+        # domain ROUNDED UP past H_img + ptop, where mid-slab rows also
+        # hang and must take the masked path.
+        n_steps = (H_out or H_img) // R if R else 1
+        may_hang_bot = kernel_pad and (
+            max(n_steps - 1, 0) * R + j >= H_img + ptop)
         if kernel_pad and (may_hang_top or may_hang_bot):
             row = pl.program_id(1) * R + j
             valid = jnp.logical_and(row >= ptop, row < H_img + ptop)
@@ -406,7 +415,7 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
     # of a folded H*C axis — e.g. the 3-channel stem conv).
     xp_rows = xp if kernel_pad else xp.reshape(B, H_in * C_src, W_in)
     fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
-                    R=R, H_img=H_in, P=P) if kernel_pad else {})
+                    R=R, H_img=H_in, P=P, H_out=H) if kernel_pad else {})
 
     def row_spec(j):
         if kernel_pad:
@@ -597,7 +606,7 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
     xp_rows = xp if kernel_pad else xp.reshape(B, H_in * C_src, W_in)
     dy_rows = dy.reshape(B, H * Cout, W)
     fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
-                    R=R, H_img=H_in, P=P) if kernel_pad else {})
+                    R=R, H_img=H_in, P=P, H_out=H) if kernel_pad else {})
 
     def row_spec(j):
         if kernel_pad:
@@ -1056,8 +1065,8 @@ def _conv_reflect_bwd_rule(res, g):
 
     gi = _pad_channels(g, Cout_pad).astype(x.dtype)
 
-    # dXp (grad wrt the reflect-PADDED input, full correlation): pad dy
-    # by K-1 and run the flipped/swapped kernel; output [B, H+2p, ., W+2p].
+    # dXp (grad wrt the reflect-PADDED input, full correlation): output
+    # row h' of dxp reads dy rows h' - (K-1) .. h'.
     w_t = _repack_fwd(w_hwio.astype(g.dtype), Cout_pad, flip=True,
                       swap=True)
     if C != Cin_pad:
@@ -1065,14 +1074,30 @@ def _conv_reflect_bwd_rule(res, g):
             if (_W_DEPTH_MAJOR and not _FWD_STACKED) \
             else ((0, Cin_pad - C), (0, 0))
         w_t = jnp.pad(w_t, cin_axis_pad)
-    # Full correlation over the PADDED domain: output row h' of dxp reads
-    # dy rows h' - (K-1) .. h', so dy carries a K-1 zero halo on every
-    # leading side (pre-padded mode, ptop=pleft=0).
     Hp, Wp = H + 2 * p, W + 2 * p
-    W_lane = _round_up(Wp + K - 1, 128)
-    gp = jnp.pad(gi, ((0, 0), (K - 1, K - 1), (0, 0),
-                      (K - 1, W_lane - W - (K - 1))))
-    dxp = _conv_nhcw_padded(gp, w_t, K, Hp, Wp)[:, :, :C, :]
+    if _KERNEL_PAD:
+        # Kernel-pad mode (ptop = pleft = K-1): no physical dy halo, and
+        # the output domain is rounded UP (H to a multiple of 16, W to
+        # the 128-lane tile) so `_choose_rows` gets a real R. The padded
+        # domain itself is divisor-starved — Hp = 256 + 6 = 262 = 2*131
+        # forced R=2: a (R+K-1)/R = 4x row-fetch amplification, a
+        # 1048-step grid, and N = 524-lane matmuls. Measured (TPU v5e,
+        # scripts/bench_deep_layout.py --reflect): the dX term was ~5.0
+        # of the stem's 6.27 ms fwd+bwd and ~3.8 of the head's 6.59 ms.
+        # Rows/lanes past Hp/Wp read zeros via the fill's validity
+        # masking, so the slice back to the true padded domain is exact.
+        Hp_eff = _round_up(Hp, 16)
+        Wp_eff = _round_up(Wp, 128)
+        dxp = _conv_nhcw_padded(gi, w_t, K, Hp_eff, Wp_eff,
+                                ptop=K - 1, pleft=K - 1,
+                                C_slab=Cout_pad)[:, :Hp, :C, :Wp]
+    else:
+        # Legacy pre-padded mode: dy carries a K-1 zero halo on every
+        # leading side (ptop=pleft=0).
+        W_lane = _round_up(Wp + K - 1, 128)
+        gp = jnp.pad(gi, ((0, 0), (K - 1, K - 1), (0, 0),
+                          (K - 1, W_lane - W - (K - 1))))
+        dxp = _conv_nhcw_padded(gp, w_t, K, Hp, Wp)[:, :, :C, :]
 
     # Fold the halo gradients back through the reflect map (the transpose
     # of 'reflect' padding: halo row -j came from interior row +j).

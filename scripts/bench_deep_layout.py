@@ -10,15 +10,24 @@ same conv costs in plain NHWC and whether an explicit NHWC sandwich
 (transpose -> conv -> transpose) beats XLA's implicit relayout.
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_deep_layout.py
+
+--reflect mode (round 3, docs/NEXT.md item 15): microbench the resnet
+stem/head reflect-pad convs (cyclegan/resnet.py:38-46 shapes) whose
+dispatch (`ops/conv.py conv2d_reflect` -> `pallas_conv.conv2d_reflect_
+nhcw`) costs 25.2 ms/step in the end-of-round trace against a ~2 ms
+FLOP roofline. Times fwd / dW-only / full fwd+bwd for the Pallas kernel
+vs the XLA NHWC fallback, so the gap attributes to dX-fold-back vs dW
+vs forward slab fill.
 """
 
+import argparse
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cyclegan_tpu.ops import conv2d, layout
+from cyclegan_tpu.ops import conv2d, conv2d_reflect, layout
 
 ITERS = 32
 
@@ -113,10 +122,98 @@ def bench_shape(b, h, w, cin, cout, k):
     )
 
 
+# (B, H, W, Cin, Cout, K) — the resnet recipe's reflect-conv shapes
+# (stem c7s1-64, head c7s1-3; trunk k3 shown for the fallback baseline).
+REFLECT_SHAPES = [
+    (8, 256, 256, 3, 64, 7),
+    (8, 256, 256, 64, 3, 7),
+    (8, 64, 64, 128, 128, 3),
+]
+
+
+def bench_reflect_shape(b, h, w, cin, cout, k):
+    from cyclegan_tpu import ops
+
+    wt = jnp.asarray(
+        np.random.default_rng(0).normal(size=(k, k, cin, cout)) * 0.05,
+        jnp.bfloat16,
+    )
+    x_nhwc = jnp.asarray(
+        np.random.default_rng(1).normal(size=(b, h, w, cin)), jnp.bfloat16
+    )
+    x_nhcw = jnp.swapaxes(x_nhwc, 2, 3)
+    flops1 = 2 * b * h * w * k * k * cin * cout  # one pass
+
+    def op_pallas(x, wv):
+        with layout.nhcw():
+            return conv2d_reflect(x, wv)
+
+    def op_xla(x, wv):
+        return conv2d_reflect(x, wv)
+
+    def fwd_step(op, xin):
+        def step(x, c):
+            xe = (x.astype(jnp.float32) * (1.0 + c * 1e-12)).astype(x.dtype)
+            y = op(xe, wt)
+            return jnp.sum(jnp.square(y).astype(jnp.float32)) * 1e-9
+        return step, xin
+
+    def grad_step(op, xin, argnums):
+        def step(x, c):
+            xe = (x.astype(jnp.float32) * (1.0 + c * 1e-12)).astype(x.dtype)
+
+            def loss(x, wv):
+                return jnp.sum(
+                    jnp.square(jnp.maximum(op(x, wv), 0.0))
+                    .astype(jnp.float32)
+                )
+
+            gs = jax.grad(loss, argnums=argnums)(xe, wt)
+            if not isinstance(gs, tuple):
+                gs = (gs,)
+            return sum(g.astype(jnp.float32).sum() for g in gs) * 1e-9
+        return step, xin
+
+    rows = []
+    for name, op, xin in (("pallas", op_pallas, x_nhcw),
+                          ("xla-nhwc", op_xla, x_nhwc)):
+        ops.enable_kernel_pack(name == "pallas")
+        try:
+            t_f = chain_time(scanned(fwd_step(op, xin)[0]), xin)
+            t_dw = chain_time(scanned(grad_step(op, xin, 1)[0]), xin)
+            t_all = chain_time(scanned(grad_step(op, xin, (0, 1))[0]), xin)
+        finally:
+            ops.enable_kernel_pack(False)
+        rows.append((name, t_f, t_dw, t_all))
+        print(
+            f"[{b}x{h}x{w}x{cin:3d}->{cout:3d} k{k}] {name:8s} "
+            f"fwd {t_f * 1e6:7.1f}us ({flops1 / t_f / 1e12:5.2f}T)  "
+            f"fwd+dW {t_dw * 1e6:7.1f}us  "
+            f"full {t_all * 1e6:7.1f}us ({3 * flops1 / t_all / 1e12:5.2f}T)",
+            flush=True,
+        )
+    if len(rows) == 2:
+        p, x_ = rows
+        print(
+            f"    -> pallas/xla: fwd {p[1] / x_[1]:4.2f}x  "
+            f"fwd+dW {p[2] / x_[2]:4.2f}x  full {p[3] / x_[3]:4.2f}x",
+            flush=True,
+        )
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reflect", action="store_true",
+                    help="bench the resnet reflect-conv shapes "
+                         "(pallas vs XLA NHWC fallback)")
+    args = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
-    for shape in SHAPES:
-        bench_shape(*shape)
+    if args.reflect:
+        for shape in REFLECT_SHAPES:
+            bench_reflect_shape(*shape)
+    else:
+        for shape in SHAPES:
+            bench_shape(*shape)
 
 
 if __name__ == "__main__":
