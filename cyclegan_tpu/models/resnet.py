@@ -26,6 +26,7 @@ from cyclegan_tpu.ops import (
     conv2d_reflect,
     conv2d_transpose,
     instance_norm,
+    layout,
     leaky_relu,
 )
 
@@ -70,6 +71,15 @@ def resnet_generator(config: Mapping[str, Any]) -> Model:
         # Pallas-or-XLA dispatch lives in ops.conv2d_reflect
         x = conv2d_reflect(x, params["stem"]["w"], params["stem"]["b"])
         x = jax.nn.relu(instance_norm(x))
+        # NOTE (measured negative result, TPU v5e round 3): forcing the
+        # down/trunk/up span NHWC-RESIDENT (one layout.nhwc() region,
+        # one transpose in/out — docs/NEXT.md item 16's "layout-region
+        # planning") LOST 90.5 -> 83.3 img/s. XLA already absorbs the
+        # per-conv NHCW<->NHWC sandwich transposes into the adjacent
+        # bandwidth-bound norm/pad fusions, while the region's entry and
+        # exit transposes materialize as standalone copies in fwd AND
+        # bwd of every generator application. The per-conv sandwich
+        # (ops/conv.py _FALLBACK_NHWC) stays.
         # two stride-2 downsamples (resnet.py:49-53)
         for p in params["down"]:
             x = conv2d(x, p["w"], p["b"], stride=2)
@@ -120,13 +130,29 @@ def simple_discriminator(config: Mapping[str, Any]) -> Model:
 
     def apply(params, state, x, train=False, rng=None):
         del rng
+        # Every conv here is stride-2 (XLA fallback — the lane-dense
+        # kernel is stride-1-only) or a sub-lane-width 1x1 head, so
+        # under NHCW each paid a per-conv transpose sandwich. Run the
+        # whole discriminator NHWC-resident: one transpose in, one out
+        # (layout-region planning, docs/NEXT.md item 16). Measured
+        # (TPU v5e): U-Net+PatchGAN b4 114.3 -> 116.2 img/s; the same
+        # region over the resnet GENERATOR lost 7 img/s (see the note
+        # there) — the disc's shrinking pyramid has no bandwidth-bound
+        # epilogues for XLA to hide the sandwich transposes in.
+        region = layout.is_nhcw()
+        if region:
+            x = layout.from_nhcw(x)
         new_state: Dict[str, Any] = {"blocks": []}
-        for p, s in zip(params["blocks"], state["blocks"]):
-            x = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=2)
-            x, ns = apply_norm(p["norm"], s["norm"], x, norm, train)
-            x = leaky_relu(x, 0.2)
-            new_state["blocks"].append({"norm": ns})
-        x = conv2d(x, params["head"]["w"], params["head"]["b"], stride=1)
+        with layout.nhwc(enabled=region):
+            for p, s in zip(params["blocks"], state["blocks"]):
+                x = conv2d(x, p["conv"]["w"], p["conv"]["b"], stride=2)
+                x, ns = apply_norm(p["norm"], s["norm"], x, norm, train)
+                x = leaky_relu(x, 0.2)
+                new_state["blocks"].append({"norm": ns})
+            x = conv2d(x, params["head"]["w"], params["head"]["b"],
+                       stride=1)
+        if region:
+            x = layout.to_nhcw(x)
         return x, new_state
 
     return Model(init=init, apply=apply,

@@ -50,6 +50,24 @@ def nhcw(enabled: bool = True):
         _LAYOUT = prev
 
 
+@contextlib.contextmanager
+def nhwc(enabled: bool = True):
+    """Force-NHWC region inside an NHCW-scoped trace (layout-region
+    planning): a model keeps a span of XLA-resident ops — e.g. the
+    resnet trunk's k3 C128 convs, which beat the Pallas kernel on the
+    MXU — in NHWC with ONE transpose at entry/exit instead of a
+    transpose sandwich around every conv. The caller transposes the
+    activation itself (``from_nhcw`` / ``to_nhcw``); this only scopes
+    the flag. No-op when ``enabled=False``."""
+    global _LAYOUT
+    prev = _LAYOUT
+    _LAYOUT = "NHWC" if enabled else prev
+    try:
+        yield
+    finally:
+        _LAYOUT = prev
+
+
 def to_nhcw(x: jnp.ndarray) -> jnp.ndarray:
     """NHWC -> NHCW (step-entry transpose)."""
     return jnp.swapaxes(x, 2, 3)

@@ -186,3 +186,31 @@ def test_shape_polymorphism_via_recompile(config):
         x = jnp.ones((1, size, size, 3))
         y, _ = model.apply(params, state, x)
         assert y.shape == x.shape
+
+
+def test_resnet_nhwc_region_matches_default_layout():
+    """The resnet generator/patch discriminator keep their XLA-resident
+    span (downs/trunk/ups; the whole discriminator) NHWC-resident inside
+    an NHCW trace (layout-region planning — docs/NEXT.md item 16). The
+    NHCW-scoped apply must be numerically identical to the plain-NHWC
+    apply: the region only moves transposes, never math."""
+    from cyclegan_tpu.ops import layout
+
+    gen = resnet_generator(dict(filters=8))
+    disc = simple_discriminator(
+        dict(filters=[8, 8], kernels=[3, 3], normalization="instancenorm")
+    )
+    x = jax.random.uniform(
+        jax.random.PRNGKey(3), (2, 16, 16, 3), minval=-1.0, maxval=1.0
+    )
+    for model in (gen, disc):
+        params, state = model.init(jax.random.PRNGKey(0))
+        y_ref, _ = model.apply(params, state, x)
+        with layout.nhcw():
+            y_cf, _ = model.apply(params, state, layout.to_nhcw(x))
+        np.testing.assert_allclose(
+            np.asarray(layout.from_nhcw(y_cf)),
+            np.asarray(y_ref),
+            rtol=1e-5,
+            atol=1e-5,
+        )
