@@ -49,6 +49,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1088,9 +1090,12 @@ def _conv_reflect_bwd_rule(res, g):
         # masking, so the slice back to the true padded domain is exact.
         Hp_eff = _round_up(Hp, 16)
         Wp_eff = _round_up(Wp, 128)
+        # Only the channel axis is sliced here; the halo fold below uses
+        # exact bounded ranges, so the H/W alignment rows/lanes (zeros)
+        # are never read and no unaligned full-tensor copy happens.
         dxp = _conv_nhcw_padded(gi, w_t, K, Hp_eff, Wp_eff,
                                 ptop=K - 1, pleft=K - 1,
-                                C_slab=Cout_pad)[:, :Hp, :C, :Wp]
+                                C_slab=Cout_pad)[:, :, :C, :]
     else:
         # Legacy pre-padded mode: dy carries a K-1 zero halo on every
         # leading side (ptop=pleft=0).
@@ -1101,19 +1106,30 @@ def _conv_reflect_bwd_rule(res, g):
 
     # Fold the halo gradients back through the reflect map (the transpose
     # of 'reflect' padding: halo row -j came from interior row +j).
-    # Sequential per axis — H folded over the FULL padded width first,
-    # then W — so the corner halos (reflected in both axes) land
-    # correctly; folding each axis from the middle band alone drops them.
+    # H first over the FULL width, then W — so the both-axes-reflected
+    # corner halos land correctly. The H fold is two p-row strip adds
+    # (row-major: cheap). The W fold + interior slice runs as ONE lane
+    # contraction with a constant 0/1 fold matrix — the .at/slice form
+    # made multiple full passes over the ~100 MB dxp at unaligned
+    # 262-lane offsets (measured 2.2-2.4 ms of the head's 3.4 ms dX,
+    # TPU v5e round 3) where the matmul reads dxp once on the MXU.
     if p:
         t = dxp[:, p:p + H]
         t = t.at[:, 1:1 + p].add(dxp[:, :p][:, ::-1])
-        t = t.at[:, H - 1 - p:H - 1].add(dxp[:, p + H:][:, ::-1])
-        dx = t[:, :, :, p:p + W]
-        dx = dx.at[:, :, :, 1:1 + p].add(t[:, :, :, :p][:, :, :, ::-1])
-        dx = dx.at[:, :, :, W - 1 - p:W - 1].add(
-            t[:, :, :, p + W:][:, :, :, ::-1])
+        t = t.at[:, H - 1 - p:H - 1].add(dxp[:, p + H:p + H + p][:, ::-1])
+        Wsrc = int(dxp.shape[3])  # >= Wp; lanes past Wp are zero
+        fw = np.zeros((Wsrc, W), np.float32)
+        fw[p + np.arange(W), np.arange(W)] = 1.0  # interior columns
+        for j in range(p):
+            fw[j, p - j] += 1.0                   # left halo col j
+            fw[p + W + j, W - 2 - j] += 1.0       # right halo col
+        dx = lax.dot_general(
+            t, jnp.asarray(fw, t.dtype),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dxp.dtype)
     else:
-        dx = dxp
+        dx = dxp[:, :H, :, :W]
 
     # dW: patches of the reflect-padded input vs dY (pre-padded mode).
     xp = _reflect_pad_nhcw(x, p, Cin_pad)
