@@ -106,6 +106,14 @@ _VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(8_000_000)))
 # Mosaic's sublane rule for the C=3 stem conv): kernel 75.3 vs xla 71.3
 # img/s on the whole default recipe — kernel is the default.
 _KERNEL_PAD = os.environ.get("PALLAS_PAD", "kernel") == "kernel"
+
+# Output lanes per grid-step matmul (`_choose_rows` target). The original
+# 4096 target (row-2 tuning) was grid-step-bound: raising it monotonically
+# improved every recipe on TPU v5e (staged sweep, round 3 — flagship
+# 80.9/85.2/87.4/88.0, resnet 96.5/98.6/99.9/100.6, patchgan b4
+# 116.2/-/-/122.3 img/s at 4k/8k/16k/32k). 32768 in effect means "as many
+# rows as the VMEM slab budget allows" (`_VMEM_CAP` still binds).
+_ACC_LANES = int(os.environ.get("PALLAS_ACC_LANES", "32768"))
 # Batch-paired lane packing for W < 128 (PALLAS_WPACK=1, off pending
 # bench). The deep U-Net levels (@64^2/@32^2, cin/cout 64-128) never
 # dispatched because lane-dense rows need W % 128 == 0. Packing P =
@@ -209,15 +217,17 @@ def _tf_same_pad(kernel: int) -> Tuple[int, int]:
 
 def _choose_rows(height: int, width: int, k: int, c: int,
                  itemsize: int, extra_per_row: int = 0) -> int:
-    """Rows per grid step: target ~4k lanes of output per matmul
-    (f32 accumulator register pressure), capped so the dx-shifted
-    scratch [K*C, (R+K-1)*W] — plus `extra_per_row` bytes per slab row
-    for any form-specific intermediate (the stacked forward's f32
-    product block) — stays within the _VMEM_CAP budget, while dividing H
-    evenly (static shapes everywhere)."""
+    """Rows per grid step: target ~`PALLAS_ACC_LANES` lanes of output per
+    matmul (default 4096 — f32 accumulator register pressure), capped so
+    the dx-shifted scratch [K*C, (R+K-1)*W] — plus `extra_per_row` bytes
+    per slab row for any form-specific intermediate (the stacked
+    forward's f32 product block) — stays within the _VMEM_CAP budget,
+    while dividing H evenly (static shapes everywhere). Larger R
+    amortizes the slab fill ((R+K-1)/R copy blocks per output row — the
+    k7 reflect dX convs measured fill-copy-bound at R=8)."""
     per_row = k * c * width * itemsize + extra_per_row
     max_n_rows = max(k, _VMEM_CAP // per_row)
-    target = max(1, min(4096 // width, max_n_rows - k + 1))
+    target = max(1, min(_ACC_LANES // width, max_n_rows - k + 1))
     for cand in range(min(target, height), 0, -1):
         if height % cand == 0:
             return cand
