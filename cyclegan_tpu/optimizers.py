@@ -16,8 +16,14 @@ Keras parity notes:
   (variance-tractability gate at sma_threshold=5, falling back to plain
   bias-corrected momentum early on). ``adabelief_tf_update`` below
   implements those semantics natively in optax form; step-for-step test vs
-  an independent numpy transcription of the published algorithm:
-  tests/test_tf_parity.py::test_adabelief_matches_adabelief_tf_semantics.
+  an independent numpy transcription of the published algorithm
+  (provenance pinned to adabelief-tf==0.2.1's
+  AdaBeliefOptimizer._resource_apply_dense + arXiv:2010.07468 Alg. 2 in
+  the oracle's docstring):
+  tests/test_tf_parity.py::test_adabelief_matches_adabelief_tf_semantics,
+  plus a frozen golden trajectory (literal inputs/outputs spanning the
+  momentum-fallback, gate-opening and rectified regimes):
+  tests/test_tf_parity.py::test_adabelief_golden_trajectory.
 """
 
 from typing import Any, Mapping, NamedTuple

@@ -520,6 +520,7 @@ def make_validate_step(
     compute_dtype: str = "float32",
     tpu_layout: bool = False,
     fuse_apps: bool = False,
+    shard_map_dp: bool = False,
 ) -> Callable:
     """Build the jitted eval step (reference: validate_step with
     training=False, cyclegan/model.py:91-134, called at :219-223).
@@ -527,12 +528,20 @@ def make_validate_step(
     ``preprocess`` (e.g. uint8 -> [-1,1] normalize) runs inside the jit.
     With ``mesh``, inputs are batch-sharded and the state replicated — XLA
     turns the mean-reductions in the losses into psums over ICI.
+
+    ``shard_map_dp=True`` (requires ``mesh``) mirrors the train path's
+    explicit ``shard_map`` data parallelism: the body runs on the LOCAL
+    per-shard batch and per-shard metric means are pmean'd (equal shards
+    -> same global mean as the GSPMD path). With ``dp_shard_map`` on, the
+    WHOLE product surface — train and validation — is traced per-shard by
+    construction, so no GSPMD decision about opaque Pallas custom calls
+    remains anywhere in the run.
     """
     loss_obj = get_loss_obj(loss_name)
     weights = {k: float(v) for k, v in dict(loss_weights).items()}
     cdtype = jnp.dtype(compute_dtype)
 
-    def validate_step(state: TrainState, real_a, real_b):
+    def validate_step(state: TrainState, real_a, real_b, axis_name=None):
         if preprocess is not None:
             real_a = preprocess(real_a)
             real_b = preprocess(real_b)
@@ -551,9 +560,32 @@ def make_validate_step(
             tpu_layout=tpu_layout,
             fuse_apps=fuse_apps,
         )
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
         return metrics
 
     _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
+    if shard_map_dp:
+        if mesh is None:
+            raise ValueError("shard_map_dp requires a mesh")
+        if spatial_axis is not None:
+            raise ValueError(
+                "shard_map_dp is a pure data-parallel path; it cannot "
+                "combine with a spatial mesh axis"
+            )
+        from jax.sharding import PartitionSpec as P
+
+        body = _pack_scoped(
+            functools.partial(validate_step, axis_name=mesh_axis), tpu_layout
+        )
+        sm = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(mesh_axis), P(mesh_axis)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(sm)
     validate_step = _pack_scoped(validate_step, tpu_layout)
     if mesh is None:
         return jax.jit(validate_step)
@@ -744,6 +776,7 @@ def make_train_multi_step(
     paired: bool = False,
     tpu_layout: bool = False,
     fuse_apps: bool = False,
+    shard_map_dp: bool = False,
 ) -> Callable:
     """Build a jitted K-step trainer: ``(state, real_a, real_b) ->
     (state, stacked_metrics)`` where the batch leading dim is the step
@@ -753,6 +786,14 @@ def make_train_multi_step(
     amortizes host round-trips (dominant on remote/tunneled TPUs) and
     per-call overheads; the per-step math is byte-identical to
     :func:`make_train_step` (it scans the same body).
+
+    ``shard_map_dp=True`` (requires ``mesh``) moves the ``lax.scan``
+    INSIDE a ``shard_map`` over ``mesh_axis``: each device scans K steps
+    over its local batch shards, pmean-ing gradients/metrics per step —
+    so host-round-trip amortization and the Pallas-safe explicit-DP path
+    compose (the two knobs were mutually exclusive through round 3).
+    Per-step math identical to ``make_train_step(shard_map_dp=True)``:
+    the scanned body is the same function, axis_name and all.
     """
     single = make_train_step(
         models, optimizers, loss_name, loss_weights,
@@ -763,15 +804,38 @@ def make_train_multi_step(
     # un-jitted body: reuse the single-step computation inside the scan
     inner = single.__wrapped__
 
-    def multi_step(state: TrainState, real_a, real_b):
+    def multi_step(state: TrainState, real_a, real_b, axis_name=None):
         def body(carry, ab):
-            new_state, metrics = inner(carry, ab[0], ab[1])
+            new_state, metrics = inner(carry, ab[0], ab[1],
+                                       axis_name=axis_name)
             return new_state, metrics
 
         return jax.lax.scan(body, state, (real_a, real_b))
 
     donate_argnums = (0,) if donate else ()
     _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
+    if shard_map_dp:
+        if mesh is None:
+            raise ValueError("shard_map_dp requires a mesh")
+        if spatial_axis is not None:
+            raise ValueError(
+                "shard_map_dp is a pure data-parallel path; it cannot "
+                "combine with a spatial mesh axis"
+            )
+        from jax.sharding import PartitionSpec as P
+
+        # inner is already pack-scoped per call (single.__wrapped__), so
+        # the scan body re-enters the scope exactly like the single-step
+        # shard_map path does.
+        sm_body = functools.partial(multi_step, axis_name=mesh_axis)
+        sm = jax.shard_map(
+            sm_body,
+            mesh=mesh,
+            in_specs=(P(), P(None, mesh_axis), P(None, mesh_axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sm, donate_argnums=donate_argnums)
     if mesh is None:
         return jax.jit(multi_step, donate_argnums=donate_argnums)
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -144,7 +144,8 @@ class CycleGan:
         # shapes by construction. The insurance knob for kernel-pack
         # multi-chip runs, should GSPMD choose to replicate rather than
         # partition the Mosaic custom calls (steps.make_train_step
-        # docstring). Train-path only; validation stays on GSPMD.
+        # docstring). Covers the whole product surface: train (single- and
+        # multi-step/steps_per_call) AND validation.
         self.dp_shard_map = bool(train_config.get("dp_shard_map", False))
         if self.dp_shard_map and self.spatial_axis is not None:
             raise ValueError(
@@ -197,12 +198,6 @@ class CycleGan:
             shard_map_dp=self.dp_shard_map and mesh is not None,
         )
         self.multi_step_fn = None
-        if self.steps_per_call > 1 and self.dp_shard_map and mesh is not None:
-            raise ValueError(
-                "steps_per_call > 1 is not supported with dp_shard_map "
-                "yet; set steps_per_call: 1 or use the default GSPMD "
-                "data-parallel path"
-            )
         if self.steps_per_call > 1:
             from cyclegan_tpu.steps import make_train_multi_step
 
@@ -218,6 +213,7 @@ class CycleGan:
                 remat=self.remat,
                 tpu_layout=self.tpu_layout,
                 fuse_apps=self.fuse_apps,
+                shard_map_dp=self.dp_shard_map and mesh is not None,
             )
         self.validate_step_fn = make_validate_step(
             self.models,
@@ -229,6 +225,7 @@ class CycleGan:
             compute_dtype=self.compute_dtype,
             tpu_layout=self.tpu_layout,
             fuse_apps=self.fuse_apps,
+            shard_map_dp=self.dp_shard_map and mesh is not None,
         )
         self._predict_fns: Dict[str, object] = {}
 

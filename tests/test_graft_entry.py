@@ -19,15 +19,34 @@ def test_entry_traces():
     assert out.dtype.name == "float32"
 
 
-@pytest.mark.parity  # ~70 s subprocess compile (make test-fast skips)
+# Wall-time budgets for the driver's multi-chip artifact. The driver
+# runs `python __graft_entry__.py 8` under its own timeout (round 3's
+# full-width phase-3 addition exceeded it: MULTICHIP_r03.json rc=124,
+# ok=false — the one driver-visible regression of that round). Assume
+# the budget is >= 10 minutes (round 2's two full-width phases passed
+# inside it; round 3's three did not); require the WHOLE script to fit
+# in half that, with per-phase ceilings so any future phase addition or
+# config widening fails HERE, in the fast tier, not in the driver.
+# Measured cold-cache on this 1-core host (round 4, tiny-filter
+# configs + single-compile phase 3): phase1 54.7 s, phase2 24.2 s,
+# phase3 128.4 s, total 215 s.
+_PHASE_BUDGETS_S = {1: 120.0, 2: 70.0, 3: 240.0}
+_TOTAL_BUDGET_S = 400.0
+
+
 def test_dryrun_multichip_under_driver_default_env():
-    """Regression guard for the round-1 driver failure (MULTICHIP_r01.json
-    rc=1): run ``python __graft_entry__.py 8`` in a subprocess with the
+    """Regression guard for BOTH driver failure modes seen so far:
+    round 1 (MULTICHIP_r01 rc=1 — missing platform pinning) and round 3
+    (MULTICHIP_r03 rc=124 — wall-clock budget blown). Runs
+    ``python __graft_entry__.py 8`` in a subprocess with the
     DRIVER-DEFAULT environment — no JAX_PLATFORMS pin, no
-    xla_force_host_platform_device_count, axon plugin still on PYTHONPATH —
-    and require exit 0 plus the OK line. dryrun_multichip itself must do
-    all the platform pinning."""
+    xla_force_host_platform_device_count, axon plugin still on
+    PYTHONPATH — and requires exit 0, all three phase OK lines, and
+    each phase's self-reported wall time under its documented budget.
+    Fast tier ON PURPOSE: a driver-artifact regression must be
+    impossible to commit silently (VERDICT r3 next #2)."""
     import os
+    import re
     import subprocess
 
     env = dict(os.environ)
@@ -50,10 +69,29 @@ def test_dryrun_multichip_under_driver_default_env():
         text=True,
         env=env,
         cwd=repo,
-        timeout=560,
+        timeout=_TOTAL_BUDGET_S,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
-    assert "dryrun_multichip OK: 8 devices" in proc.stdout, proc.stdout
+    assert "dryrun_multichip OK [phase 1" in proc.stdout, proc.stdout
+    assert "8 devices" in proc.stdout, proc.stdout
+
+    times = {
+        int(n): float(t)
+        for n, t in re.findall(
+            r"dryrun_multichip OK \[phase (\d+), ([0-9.]+)s\]", proc.stdout
+        )
+    }
+    assert set(times) == set(_PHASE_BUDGETS_S), (
+        f"expected phases {sorted(_PHASE_BUDGETS_S)}, got {sorted(times)}:\n"
+        + proc.stdout
+    )
+    for phase, budget in _PHASE_BUDGETS_S.items():
+        assert times[phase] <= budget, (
+            f"phase {phase} took {times[phase]:.1f}s > {budget:.0f}s budget "
+            f"— this WILL eventually blow the driver's multichip timeout "
+            f"(MULTICHIP_r03 rc=124); shrink the phase before committing"
+        )
+    assert sum(times.values()) <= _TOTAL_BUDGET_S * 0.9, times
 
 
 def test_evaluate_expand_helper(tmp_path):

@@ -63,6 +63,11 @@ SUPPORTED = [
     ("sp", 1, dict(remat=True)),
     # shard_map DP with the remaining compute knobs stacked on
     ("smdp", 1, dict(remat=True, fuse_apps=True)),
+    # steps_per_call x shard_map DP (round-4: scan inside the shard_map
+    # body — the cell that raised through round 3)
+    ("smdp", 2, dict()),
+    ("smdp", 2, dict(remat=True, tpu_layout=True,
+                     compute_dtype="bfloat16")),
     # everything-on, no mesh: remat + fuse_apps + tpu_layout + bf16
     ("none", 1, dict(remat=True, fuse_apps=True, tpu_layout=True,
                      compute_dtype="bfloat16")),
@@ -99,7 +104,8 @@ def test_supported_combination_runs(parallel, k, knobs):
                                shard_map_dp=shard_map_dp, **build)
     else:
         step = make_train_multi_step(models, optimizers, "mse",
-                                     LOSS_WEIGHTS, **build)
+                                     LOSS_WEIGHTS,
+                                     shard_map_dp=shard_map_dp, **build)
 
     a, b = _batch(k=None if k == 1 else k)
     if mesh is not None:
@@ -154,7 +160,12 @@ def test_shard_map_dp_rejects_spatial_axis():
                         spatial_axis="spatial", shard_map_dp=True)
 
 
-def test_trainer_rejects_multi_step_shard_map(tmp_path):
+def test_trainer_builds_multi_step_shard_map(tmp_path):
+    """steps_per_call > 1 + dp_shard_map composes since round 4 (the
+    scan runs inside the shard_map body) — the trainer must build the
+    multi-step dispatcher instead of raising, so a v5e-8 user can have
+    host-round-trip amortization AND the Pallas-safe explicit-DP path
+    at once (VERDICT r3 next #4)."""
     from cyclegan_tpu.trainer import CycleGan
 
     from tests.test_trainer import tiny_model_config, tiny_train_config
@@ -163,8 +174,8 @@ def test_trainer_rejects_multi_step_shard_map(tmp_path):
     cfg.steps_per_call = 2
     cfg.dp_shard_map = True
     mesh = create_mesh(2)
-    with pytest.raises(ValueError, match="steps_per_call"):
-        CycleGan(tiny_model_config(tmp_path), cfg, mesh=mesh)
+    gan = CycleGan(tiny_model_config(tmp_path), cfg, mesh=mesh)
+    assert gan.multi_step_fn is not None
 
 
 def test_trainer_rejects_shard_map_with_spatial(tmp_path):

