@@ -47,9 +47,11 @@ class InferenceSession:
 
         # spatial_devices > 1: shard each image's H axis over that many
         # devices (parallel/spatial.py — the high-resolution serving mode;
-        # one image's activations spread over the mesh, XLA inserts the
-        # conv halo exchanges). Mutually exclusive with the Pallas kernel
-        # pack, whose custom calls the SPMD partitioner can't split.
+        # one image's activations spread over the mesh). With tpu_layout
+        # the forward runs inside an explicit shard_map with hand-rolled
+        # conv halos (ops/spatialctx.py) so the Pallas kernel pack serves
+        # sharded images too (round 4); without it, XLA's SPMD partitioner
+        # inserts the halo exchanges from sharding annotations.
         self.spatial_mesh = None
         if int(spatial_devices) > 1:
             from cyclegan_tpu.parallel import spatial as _spatial
@@ -57,13 +59,6 @@ class InferenceSession:
             self.spatial_mesh = _spatial.create_spatial_mesh(
                 data=1, spatial=int(spatial_devices)
             )
-            if tpu_layout is True:
-                raise ValueError(
-                    "spatial_devices and tpu_layout are mutually "
-                    "exclusive (Pallas custom calls are opaque to the "
-                    "SPMD partitioner)"
-                )
-            tpu_layout = False
 
         # tpu_layout: serve the generator through the lane-dense NHCW
         # layout + Pallas kernel pack (the training fast path; see
@@ -149,14 +144,36 @@ class InferenceSession:
                 _spatial.check_spatial_divisibility(
                     images.shape[1], self.spatial_mesh
                 )
-                replicated, activation = _spatial.spatial_shardings(
-                    self.spatial_mesh, data_axis=None
-                )
-                self._fns[key] = jax.jit(
-                    fwd,
-                    in_shardings=(replicated, replicated, activation),
-                    out_shardings=activation,
-                )
+                if use_nhcw:
+                    # kernel-pack serving on sharded images: explicit
+                    # shard_map + hand-rolled halos (ops/spatialctx.py) —
+                    # no GSPMD decision about the Mosaic custom calls.
+                    from jax.sharding import PartitionSpec as P
+
+                    from cyclegan_tpu.ops import spatialctx as _sctx
+
+                    n_sp = int(self.spatial_mesh.shape["spatial"])
+
+                    def sm_body(params, model_state, x_local):
+                        with _sctx.spatial("spatial", n_sp):
+                            return fwd(params, model_state, x_local)
+
+                    self._fns[key] = jax.jit(jax.shard_map(
+                        sm_body,
+                        mesh=self.spatial_mesh,
+                        in_specs=(P(), P(), P(None, "spatial")),
+                        out_specs=P(None, "spatial"),
+                        check_vma=False,
+                    ))
+                else:
+                    replicated, activation = _spatial.spatial_shardings(
+                        self.spatial_mesh, data_axis=None
+                    )
+                    self._fns[key] = jax.jit(
+                        fwd,
+                        in_shardings=(replicated, replicated, activation),
+                        out_shardings=activation,
+                    )
             else:
                 self._fns[key] = jax.jit(fwd)
         return np.asarray(

@@ -130,11 +130,13 @@ def apply_norm_act(
     producing conv is XLA-lowered, where XLA epilogue-fuses the IN
     statistics into the conv for free and a separate kernel only adds a
     pass (measured: 39.9 -> 32.7 img/s when fused indiscriminately)."""
-    from cyclegan_tpu.ops import layout, pallas_norm_act
+    from cyclegan_tpu.ops import layout, pallas_norm_act, spatialctx
 
     if (
         fused_ok
         and norm_type.lower() != "batchnorm"
+        and not spatialctx.is_active()  # fused kernel's stats are local;
+        # spatial shards psum them in ops/norm.instance_norm instead
         and layout.is_nhcw()
         and pallas_norm_act.is_enabled()
         and x.dtype == jnp.bfloat16

@@ -86,7 +86,53 @@ def conv2d(
     the bottom/right), which is also XLA's 'SAME' — this is what makes the
     stride-2 paths of the reference's strided_unet/discriminators
     (cyclegan/unet.py:54, cyclegan/resnet.py:50,97) numerically reproducible.
+
+    Under an active spatial context (ops/spatialctx.py — H sharded over a
+    shard_map axis), the K-1 boundary rows are exchanged explicitly and
+    the conv runs VALID-in-H over the extended block (SAME in W):
+    interior rows of a SAME conv equal the VALID rows, so the Pallas
+    kernel path runs UNCHANGED on the extended block with the first/last
+    ``pad`` output rows sliced off, and the XLA path uses an explicit
+    ``((0, 0), w_pad)`` padding tuple. ppermute's zero fill at the mesh
+    edges reproduces SAME zero padding at the global image boundary.
     """
+    from cyclegan_tpu.ops import spatialctx
+
+    if spatialctx.is_active() and padding == "SAME" and x.ndim == 4:
+        kh = int(kernel.shape[0])
+        pa, pb = _tf_same_pad(kh, stride)
+        if pa or pb:
+            x_ext = spatialctx.halo_exchange_h(x, pa, pb)
+            if x_ext.shape[1] % 2:
+                # The Pallas gate needs even H (its grid packs row
+                # pairs); even-K halos (pa+pb = K-1 odd) make the
+                # extended block odd. One synthetic zero row at the
+                # bottom fixes the parity — the interior rows sliced
+                # below never read it (they stop K-1-pb = pa rows short
+                # of the end), so this is shape padding, not math.
+                probe = jnp.pad(x_ext, ((0, 0), (0, 1), (0, 0), (0, 0)))
+            else:
+                probe = x_ext
+            if uses_pallas(probe, kernel, stride, "SAME"):
+                from cyclegan_tpu.ops import pallas_conv
+
+                y = pallas_conv.conv2d_same_nhcw(probe, kernel)
+                # VALID interior of the SAME output: stride is 1 on the
+                # Pallas path (uses_pallas gates stride==1), so the local
+                # output height equals the local input height.
+                y = lax.slice_in_dim(y, pa, pa + x.shape[1], axis=1)
+                if bias is not None:
+                    y = y + layout.channel_param(bias)
+                return y.astype(x.dtype)
+            w_pad = _tf_same_pad(int(kernel.shape[1]), stride)
+            # Explicit ((0,0), w_pad) padding: H is pre-extended so VALID
+            # there gives exactly H_local/stride rows; the tuple padding
+            # also skips the Pallas gate (it requires the 'SAME' string),
+            # so this recursion terminates in the XLA branches below.
+            return conv2d(x_ext, kernel, bias, stride,
+                          padding=((0, 0), w_pad))
+        # kh == stride (aligned windows): SAME pads H by zero rows anyway,
+        # so the per-shard conv below is already correct.
     if layout.is_nhcw():
         if uses_pallas(x, kernel, stride, padding):
             from cyclegan_tpu.ops import pallas_conv
@@ -158,10 +204,20 @@ def conv2d_reflect(
     reflect convs at 0.2-5 TF/s in any layout — BASELINE.md round 3);
     everything else composes reflection_pad2d + the VALID conv fallback.
     """
+    from cyclegan_tpu.ops import spatialctx
     from cyclegan_tpu.ops.pad import reflection_pad2d
 
     k = int(kernel.shape[0])
     p = k // 2
+    if spatialctx.is_active() and x.ndim == 4:
+        # H: neighbor halos with local REFLECT rows at the global edges;
+        # W: local reflect pad. The conv is then VALID — the string also
+        # keeps the Pallas SAME gate out, so this runs the XLA fallback
+        # (the reflect Pallas kernel synthesizes its own padding and
+        # cannot take a pre-padded H).
+        x_ext = spatialctx.halo_exchange_h_reflect(x, p)
+        return conv2d(reflection_pad2d(x_ext, (p, 0)), kernel, bias,
+                      padding="VALID")
     if layout.is_nhcw() and x.dtype == jnp.bfloat16:
         from cyclegan_tpu.ops import pallas_conv
 
@@ -201,12 +257,60 @@ def conv2d_transpose(
 
     so the output is exactly ``H*s x W*s`` (reference uses this in
     cyclegan/unet.py:66,76 and cyclegan/resnet.py:57).
+
+    Under an active spatial context (ops/spatialctx.py), the halo widths
+    follow from the dilated-coordinate algebra: with ``a`` rows from
+    above, local output ``u`` taps dilated position ``u + s*a -
+    pad_before' + k`` of the extended block, so ``a = pad_before'/s``
+    makes the conv VALID from above (only the even dilated positions are
+    real rows, which is why ``pad_before' % s == 0`` suffices for every
+    kernel size this framework instantiates: k=4 and k=3 at s=2). Below,
+    ``b`` covers the real rows the last outputs reach past the shard and
+    an ``hi`` zero pad supplies any remaining dilation-zero positions —
+    which coincide with the global ``pad_after'`` zeros at the last
+    shard, so edge behavior needs no masking.
     """
+    from cyclegan_tpu.ops import spatialctx
+
     kh, kw = kernel.shape[0], kernel.shape[1]
     pb_h, _ = _tf_same_pad(kh, stride)
     pb_w, _ = _tf_same_pad(kw, stride)
     pad_h = (kh - 1 - pb_h, stride - 1 + pb_h)
     pad_w = (kw - 1 - pb_w, stride - 1 + pb_w)
+    if spatialctx.is_active() and x.ndim == 4:
+        if pad_h[0] % stride != 0:
+            raise NotImplementedError(
+                f"spatial conv_transpose needs pad_before' % stride == 0 "
+                f"(got kernel {kh}, stride {stride})"
+            )
+        a = pad_h[0] // stride
+        b = max(0, (kh - 2 - pad_h[0]) // stride + 1)
+        hi = kh + stride - 2 - stride * (a + b)
+        assert hi >= 0, (kh, stride, a, b, hi)
+        x_ext = spatialctx.halo_exchange_h(x, a, b)
+        pads = ((0, hi), pad_w)
+        flipped = kernel[::-1, ::-1, :, :]
+        if layout.is_nhcw() and _FALLBACK_NHWC:
+            xt = jnp.transpose(x_ext, (0, 1, 3, 2))
+            out = lax.conv_general_dilated(
+                xt, flipped, window_strides=(1, 1), padding=pads,
+                lhs_dilation=(stride, stride), dimension_numbers=_DN_CONV_T,
+                precision=_precision_for(x),
+            )
+            if bias is not None:
+                out = out + bias
+            return jnp.transpose(out, (0, 1, 3, 2)).astype(x.dtype)
+        out = lax.conv_general_dilated(
+            x_ext, flipped, window_strides=(1, 1), padding=pads,
+            lhs_dilation=(stride, stride),
+            dimension_numbers=_DN_CONV_T_CF if layout.is_nhcw()
+            else _DN_CONV_T,
+            precision=_precision_for(x),
+        )
+        if bias is not None:
+            out = out + (layout.channel_param(bias) if layout.is_nhcw()
+                         else bias)
+        return out.astype(x.dtype)
     flipped = kernel[::-1, ::-1, :, :]
     if layout.is_nhcw() and _FALLBACK_NHWC:
         # Same NHWC-sandwich as conv2d's fallback: XLA's NHCW transposed-

@@ -29,13 +29,43 @@ def instance_norm(
     (``cyclegan_tpu.ops.pallas_norm.enable()``), dispatch goes to the
     2-pass streaming kernel instead.
     """
-    from cyclegan_tpu.ops import layout, pallas_norm
+    from cyclegan_tpu.ops import layout, pallas_norm, spatialctx
 
     if (not layout.is_nhcw() and pallas_norm.is_enabled()
+            and not spatialctx.is_active()
             and pallas_norm.profitable(x.shape[-1])):
         return pallas_norm.pallas_instance_norm(x, gamma, beta, eps)
     axes = layout.spatial_axes()
     xf = x.astype(jnp.float32)
+    if spatialctx.is_active():
+        # H is shard_map-sharded: the (H, W) statistics need the other
+        # shards' partial sums — psum the local sums over the spatial
+        # axis (equal shard sizes, so count = local * n_shards). This is
+        # exactly the collective GSPMD inserts on the annotation-driven
+        # spatial path (parallel/spatial.py).
+        from jax import lax as _lax
+
+        ax_name = spatialctx.axis_name()
+        count = 1.0
+        for a in axes:
+            count *= x.shape[a]
+        count *= spatialctx.n_shards()
+        mean = _lax.psum(
+            jnp.sum(xf, axis=axes, keepdims=True), ax_name) / count
+        if x.dtype == jnp.bfloat16:
+            sq = _lax.psum(
+                jnp.sum(xf * xf, axis=axes, keepdims=True), ax_name) / count
+            var = jnp.maximum(sq - mean * mean, 0.0)
+        else:
+            var = _lax.psum(
+                jnp.sum(jnp.square(xf - mean), axis=axes, keepdims=True),
+                ax_name) / count
+        y = (xf - mean) * lax.rsqrt(var + eps)
+        if gamma is not None:
+            y = y * layout.channel_param(gamma)
+        if beta is not None:
+            y = y + layout.channel_param(beta)
+        return y.astype(x.dtype)
     mean = jnp.mean(xf, axis=axes, keepdims=True)
     if x.dtype == jnp.bfloat16:
         # perf path: single-sweep statistics — E[x^2]-E[x]^2 lets XLA fuse
@@ -75,12 +105,30 @@ def batch_norm_stats(
     The reference exposes batchnorm as the ``normalization: batchnorm``
     config option (cyclegan/unet.py:28-29,55-57).
     """
-    from cyclegan_tpu.ops import layout
+    from cyclegan_tpu.ops import layout, spatialctx
 
     sp = layout.spatial_axes()
     axes = (0,) + sp
     xf = x.astype(jnp.float32)
-    if train:
+    if train and spatialctx.is_active():
+        # H-sharded batch stats: psum the partial sums over the spatial
+        # axis so every strip of a sample normalizes identically. (Data-
+        # shard semantics match the dp shard_map path: per-data-shard
+        # batch statistics, like local batchnorm on a pod.)
+        from jax import lax as _lax
+
+        ax_name = spatialctx.axis_name()
+        count = 1.0
+        for a in axes:
+            count *= x.shape[a]
+        count *= spatialctx.n_shards()
+        mean = _lax.psum(jnp.sum(xf, axis=axes), ax_name) / count
+        var = _lax.psum(
+            jnp.sum(jnp.square(xf - layout.channel_param(mean)), axis=axes),
+            ax_name) / count
+        new_mean = moving_mean * momentum + mean * (1.0 - momentum)
+        new_var = moving_var * momentum + var * (1.0 - momentum)
+    elif train:
         mean = jnp.mean(xf, axis=axes)
         var = jnp.mean(
             jnp.square(xf - layout.channel_param(mean)), axis=axes

@@ -16,12 +16,15 @@ Composes with data parallelism as a 2-D ``(data, spatial)`` mesh: batch
 dim over ``data``, H over ``spatial`` (see ``create_spatial_mesh`` /
 ``steps.make_*_fn(spatial_axis=...)``).
 
-Scope note: the NHCW Pallas kernel pack is NOT used under spatial
-sharding — Pallas custom calls are opaque to the SPMD partitioner, so
-spatial mode runs the XLA convolution path (which partitions + halo-
-exchanges natively). The two features target opposite regimes anyway:
-the pack wins on narrow-channel 256² steps; spatial sharding exists for
-high-resolution work where per-chip HBM, not MXU occupancy, binds.
+Scope note: on THIS annotation-driven path the NHCW Pallas kernel pack
+is not used — Pallas custom calls are opaque to the SPMD partitioner,
+so GSPMD spatial mode runs the XLA convolution path (which partitions +
+halo-exchanges natively). To combine spatial sharding WITH the kernel
+pack, use the explicit shard_map variant (``dp_shard_map: true`` with a
+spatial mesh): the step then runs inside ``jax.shard_map`` and
+ops/spatialctx.py exchanges the conv halos by hand (ppermute), so the
+Pallas kernels execute on ordinary local blocks with no partitioner
+decision anywhere (steps.make_train_step).
 """
 
 from __future__ import annotations

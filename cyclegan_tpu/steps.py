@@ -350,6 +350,20 @@ def _pack_scoped(fn: Callable, tpu_layout: bool) -> Callable:
     return scoped
 
 
+def _spatial_scoped(fn: Callable, spatial_axis: str, n_shards: int) -> Callable:
+    """Wrap a shard_map body so the WHOLE trace (incl. transposition-time
+    custom-VJP rules, same rationale as :func:`_pack_scoped`) runs under
+    the explicit-halo spatial context (ops/spatialctx.py)."""
+    from cyclegan_tpu.ops import spatialctx
+
+    @functools.wraps(fn)
+    def scoped(*args, **kwargs):
+        with spatialctx.spatial(spatial_axis, n_shards):
+            return fn(*args, **kwargs)
+
+    return scoped
+
+
 def _check_spatial_kernel_exclusion(
     spatial_axis: Optional[str], tpu_layout: bool
 ) -> None:
@@ -541,8 +555,11 @@ def make_validate_step(
     weights = {k: float(v) for k, v in dict(loss_weights).items()}
     cdtype = jnp.dtype(compute_dtype)
 
-    def validate_step(state: TrainState, real_a, real_b, axis_name=None):
+    def validate_step(state: TrainState, real_a, real_b, axis_name=None,
+                      spatial_name=None):
         if preprocess is not None:
+            # eval preprocess is elementwise (normalize only — no resize
+            # jitter), so it is correct per H-strip without a gather
             real_a = preprocess(real_a)
             real_b = preprocess(real_b)
         _, metrics, _ = _forward_losses(
@@ -560,21 +577,36 @@ def make_validate_step(
             tpu_layout=tpu_layout,
             fuse_apps=fuse_apps,
         )
-        if axis_name is not None:
-            metrics = jax.lax.pmean(metrics, axis_name)
+        mean_axes = tuple(n for n in (axis_name, spatial_name)
+                          if n is not None)
+        if mean_axes:
+            metrics = jax.lax.pmean(metrics, mean_axes)
         return metrics
 
-    _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
     if shard_map_dp:
         if mesh is None:
             raise ValueError("shard_map_dp requires a mesh")
-        if spatial_axis is not None:
-            raise ValueError(
-                "shard_map_dp is a pure data-parallel path; it cannot "
-                "combine with a spatial mesh axis"
-            )
         from jax.sharding import PartitionSpec as P
 
+        if spatial_axis is not None:
+            n_sp = int(mesh.shape[spatial_axis])
+            body = _spatial_scoped(
+                _pack_scoped(
+                    functools.partial(validate_step, axis_name=mesh_axis,
+                                      spatial_name=spatial_axis),
+                    tpu_layout,
+                ),
+                spatial_axis, n_sp,
+            )
+            sm = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P(mesh_axis, spatial_axis),
+                          P(mesh_axis, spatial_axis)),
+                out_specs=P(),
+                check_vma=False,
+            )
+            return jax.jit(sm)
         body = _pack_scoped(
             functools.partial(validate_step, axis_name=mesh_axis), tpu_layout
         )
@@ -586,6 +618,7 @@ def make_validate_step(
             check_vma=False,
         )
         return jax.jit(sm)
+    _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
     validate_step = _pack_scoped(validate_step, tpu_layout)
     if mesh is None:
         return jax.jit(validate_step)
@@ -686,26 +719,53 @@ def make_train_step(
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def train_step(state: TrainState, real_a, real_b, axis_name=None):
+    def train_step(state: TrainState, real_a, real_b, axis_name=None,
+                   spatial_name=None):
         rng, step_rng = jax.random.split(state.rng)
         if axis_name is not None:
             # shard_map mode: the body runs once per shard on the local
             # batch — decorrelate the per-shard augmentation/dropout
             # streams (the GSPMD path shards one global draw instead).
+            # NOT folded by the spatial index: every H-strip of a sample
+            # must draw the SAME augmentation (crop offset, flip).
             step_rng = jax.random.fold_in(
                 step_rng, jax.lax.axis_index(axis_name)
             )
         if preprocess is not None:
             pre_rng, step_rng = jax.random.split(step_rng)
-            real_a, real_b = preprocess(pre_rng, real_a, real_b)
+            if spatial_name is not None:
+                # The resize-based jitter needs WHOLE images (a strip of
+                # a resized image is not the resize of a strip): gather
+                # the H axis, augment identically across the spatial
+                # group (same pre_rng), slice the local strip back out.
+                from cyclegan_tpu.ops import spatialctx
+
+                real_a, real_b = preprocess(
+                    pre_rng, spatialctx.gather_h(real_a),
+                    spatialctx.gather_h(real_b),
+                )
+                real_a = spatialctx.slice_local_h(real_a)
+                real_b = spatialctx.slice_local_h(real_b)
+            else:
+                real_a, real_b = preprocess(pre_rng, real_a, real_b)
+        if spatial_name is not None:
+            # decorrelate per-strip dropout draws (iid elementwise either
+            # way; reusing one stream would replicate masks across strips)
+            step_rng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(spatial_name)
+            )
         grads, (metrics, new_model_state) = grad_fn(
             state.params, state.model_state, real_a, real_b, step_rng
         )
-        if axis_name is not None:
+        mean_axes = tuple(n for n in (axis_name, spatial_name)
+                          if n is not None)
+        if mean_axes:
             # Equal shards: global-mean-loss gradients are the pmean of
             # per-shard local-mean gradients; same for the metric means.
-            grads = jax.lax.pmean(grads, axis_name)
-            metrics = jax.lax.pmean(metrics, axis_name)
+            # (Cross-shard terms are exact: ppermute's transpose already
+            # routed halo-row cotangents to the producing shard.)
+            grads = jax.lax.pmean(grads, mean_axes)
+            metrics = jax.lax.pmean(metrics, mean_axes)
         if paired:  # stateless models; keep existing (empty) state trees
             new_model_state = state.model_state
         new_params = {}
@@ -727,17 +787,36 @@ def make_train_step(
         )
 
     donate_argnums = (0,) if donate else ()
-    _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
     if shard_map_dp:
         if mesh is None:
             raise ValueError("shard_map_dp requires a mesh")
-        if spatial_axis is not None:
-            raise ValueError(
-                "shard_map_dp is a pure data-parallel path; it cannot "
-                "combine with a spatial mesh axis"
-            )
         from jax.sharding import PartitionSpec as P
 
+        if spatial_axis is not None:
+            # Explicit (data x spatial) shard_map: batches H-shard by
+            # construction, convs exchange halos via ops/spatialctx.py,
+            # instance-norm stats psum — so the NHCW Pallas kernel pack
+            # runs under spatial sharding (no GSPMD decision about the
+            # Mosaic custom calls anywhere). This lifts the GSPMD path's
+            # spatial x tpu_layout exclusion.
+            n_sp = int(mesh.shape[spatial_axis])
+            body = _spatial_scoped(
+                _pack_scoped(
+                    functools.partial(train_step, axis_name=mesh_axis,
+                                      spatial_name=spatial_axis),
+                    tpu_layout,
+                ),
+                spatial_axis, n_sp,
+            )
+            sm = jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P(mesh_axis, spatial_axis),
+                          P(mesh_axis, spatial_axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return jax.jit(sm, donate_argnums=donate_argnums)
         body = _pack_scoped(
             functools.partial(train_step, axis_name=mesh_axis), tpu_layout
         )
@@ -749,6 +828,7 @@ def make_train_step(
             check_vma=False,
         )
         return jax.jit(sm, donate_argnums=donate_argnums)
+    _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
     train_step = _pack_scoped(train_step, tpu_layout)
     if mesh is None:
         return jax.jit(train_step, donate_argnums=donate_argnums)
@@ -804,29 +884,41 @@ def make_train_multi_step(
     # un-jitted body: reuse the single-step computation inside the scan
     inner = single.__wrapped__
 
-    def multi_step(state: TrainState, real_a, real_b, axis_name=None):
+    def multi_step(state: TrainState, real_a, real_b, axis_name=None,
+                   spatial_name=None):
         def body(carry, ab):
             new_state, metrics = inner(carry, ab[0], ab[1],
-                                       axis_name=axis_name)
+                                       axis_name=axis_name,
+                                       spatial_name=spatial_name)
             return new_state, metrics
 
         return jax.lax.scan(body, state, (real_a, real_b))
 
     donate_argnums = (0,) if donate else ()
-    _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
     if shard_map_dp:
         if mesh is None:
             raise ValueError("shard_map_dp requires a mesh")
-        if spatial_axis is not None:
-            raise ValueError(
-                "shard_map_dp is a pure data-parallel path; it cannot "
-                "combine with a spatial mesh axis"
-            )
         from jax.sharding import PartitionSpec as P
 
         # inner is already pack-scoped per call (single.__wrapped__), so
         # the scan body re-enters the scope exactly like the single-step
         # shard_map path does.
+        if spatial_axis is not None:
+            n_sp = int(mesh.shape[spatial_axis])
+            sm_body = _spatial_scoped(
+                functools.partial(multi_step, axis_name=mesh_axis,
+                                  spatial_name=spatial_axis),
+                spatial_axis, n_sp,
+            )
+            sm = jax.shard_map(
+                sm_body,
+                mesh=mesh,
+                in_specs=(P(), P(None, mesh_axis, spatial_axis),
+                          P(None, mesh_axis, spatial_axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return jax.jit(sm, donate_argnums=donate_argnums)
         sm_body = functools.partial(multi_step, axis_name=mesh_axis)
         sm = jax.shard_map(
             sm_body,
@@ -836,6 +928,7 @@ def make_train_multi_step(
             check_vma=False,
         )
         return jax.jit(sm, donate_argnums=donate_argnums)
+    _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
     if mesh is None:
         return jax.jit(multi_step, donate_argnums=donate_argnums)
     from jax.sharding import NamedSharding, PartitionSpec as P

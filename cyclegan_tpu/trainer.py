@@ -116,42 +116,46 @@ class CycleGan:
         # slower than XLA's native lowering).
         # Spatial partitioning: a mesh carrying a >1 'spatial' axis shards
         # each image's H dim over it (parallel/spatial.py — high-res
-        # training where activations exceed one chip). Excludes the Pallas
-        # kernel pack, whose custom calls the SPMD partitioner can't split.
+        # training where activations exceed one chip). On the GSPMD path
+        # this excludes the Pallas kernel pack (custom calls are opaque
+        # to the SPMD partitioner); with dp_shard_map the step runs
+        # inside an explicit (data x spatial) shard_map with hand-rolled
+        # conv halos (ops/spatialctx.py), where the pack composes.
         self.spatial_axis = (
             "spatial"
             if mesh is not None and int(mesh.shape.get("spatial", 1)) > 1
             else None
         )
+        self.dp_shard_map = bool(train_config.get("dp_shard_map", False))
         tpu_layout = train_config.get("tpu_layout", "auto")
         if isinstance(tpu_layout, str) and tpu_layout.lower() == "auto":
             tpu_layout = (jax.default_backend() == "tpu"
                           and self.compute_dtype == "bfloat16"
-                          and self.spatial_axis is None)
-        if self.spatial_axis is not None and tpu_layout:
+                          and (self.spatial_axis is None
+                               or self.dp_shard_map))
+        if (self.spatial_axis is not None and tpu_layout
+                and not self.dp_shard_map):
             raise ValueError(
-                "tpu_layout: true cannot combine with a spatial mesh "
-                "(Pallas custom calls are opaque to the SPMD partitioner); "
-                "leave tpu_layout at auto/false for spatial training"
+                "tpu_layout: true cannot combine with a spatial mesh on "
+                "the GSPMD path (Pallas custom calls are opaque to the "
+                "SPMD partitioner); set dp_shard_map: true to run the "
+                "kernel pack under explicit shard_map spatial halos, or "
+                "leave tpu_layout at auto/false"
             )
         # The kernel pack itself is scoped per trace inside the step
         # (steps._forward_losses enters ops.packctx.scope) — the trainer
         # no longer mutates process-global pack flags.
         self.tpu_layout = bool(tpu_layout)
-        # dp_shard_map: route data parallelism through an explicit
-        # jax.shard_map instead of GSPMD sharding annotations — each chip
-        # traces the step (and any Pallas custom calls) at per-shard
-        # shapes by construction. The insurance knob for kernel-pack
-        # multi-chip runs, should GSPMD choose to replicate rather than
-        # partition the Mosaic custom calls (steps.make_train_step
-        # docstring). Covers the whole product surface: train (single- and
-        # multi-step/steps_per_call) AND validation.
-        self.dp_shard_map = bool(train_config.get("dp_shard_map", False))
-        if self.dp_shard_map and self.spatial_axis is not None:
-            raise ValueError(
-                "dp_shard_map is a pure data-parallel path; it cannot "
-                "combine with a spatial mesh"
-            )
+        # dp_shard_map (set above, before the tpu_layout auto-derivation):
+        # route partitioning through an explicit jax.shard_map instead of
+        # GSPMD sharding annotations — each chip traces the step (and any
+        # Pallas custom calls) at per-shard shapes by construction. The
+        # insurance knob for kernel-pack multi-chip runs, should GSPMD
+        # choose to replicate rather than partition the Mosaic custom
+        # calls (steps.make_train_step docstring). Covers the whole
+        # product surface: train (single- and multi-step/steps_per_call)
+        # AND validation; with a spatial mesh axis it runs the explicit-
+        # halo (data x spatial) shard_map (ops/spatialctx.py).
 
         self.models = {
             "g_AB": create_model(model_config.generator),

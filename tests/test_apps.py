@@ -306,10 +306,16 @@ def test_inference_spatial_serving(trained_model_dir):
         b = base.stylize(batch, direction).astype(int)
         # reduction order differs (IN stats psum) -> at most a rounding LSB
         assert np.abs(a - b).max() <= 1
-    # explicit kernel-pack + spatial is rejected
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        InferenceSession(trained_model_dir, spatial_devices=8,
-                         tpu_layout=True)
+    # explicit kernel-pack + spatial: the shard_map serving path with
+    # hand-rolled halos (round 4) — matches the single-device pack output
+    packed = InferenceSession(trained_model_dir, spatial_devices=8,
+                              tpu_layout=True, compute_dtype="bfloat16")
+    base_packed = InferenceSession(trained_model_dir, tpu_layout=True,
+                                   compute_dtype="bfloat16")
+    a = packed.stylize(batch, "a2b").astype(int)
+    b = base_packed.stylize(batch, "a2b").astype(int)
+    # bf16 forward + psum'd IN stats: a couple of uint8 LSBs of slack
+    assert np.abs(a - b).max() <= 3
     # indivisible height fails with the clear error, not XLA's
     with pytest.raises(ValueError, match="not divisible"):
         sp.stylize(rng.integers(0, 256, size=(1, 20, 20, 3),

@@ -24,14 +24,15 @@ def test_entry_traces():
 # full-width phase-3 addition exceeded it: MULTICHIP_r03.json rc=124,
 # ok=false — the one driver-visible regression of that round). Assume
 # the budget is >= 10 minutes (round 2's two full-width phases passed
-# inside it; round 3's three did not); require the WHOLE script to fit
-# in half that, with per-phase ceilings so any future phase addition or
-# config widening fails HERE, in the fast tier, not in the driver.
-# Measured cold-cache on this 1-core host (round 4, tiny-filter
-# configs + single-compile phase 3): phase1 54.7 s, phase2 24.2 s,
-# phase3 128.4 s, total 215 s.
-_PHASE_BUDGETS_S = {1: 120.0, 2: 70.0, 3: 240.0}
-_TOTAL_BUDGET_S = 400.0
+# inside it; round 3's three did not); require the WHOLE 4-phase script
+# to fit in ~8 minutes, with per-phase ceilings so any future phase
+# addition or config widening fails HERE, in the fast tier, not in the
+# driver. Measured cold-cache on this 1-core host (round 4,
+# tiny-filter configs, single-compile phases 3+4): phase1 31.5-60.2 s,
+# phase2 17.1-24.2 s, phase3 103.7-128.4 s, phase4 134.0 s — totals
+# 182-299 s across three runs under varying harness load.
+_PHASE_BUDGETS_S = {1: 120.0, 2: 70.0, 3: 200.0, 4: 220.0}
+_TOTAL_BUDGET_S = 480.0
 
 
 def test_dryrun_multichip_under_driver_default_env():
@@ -41,8 +42,9 @@ def test_dryrun_multichip_under_driver_default_env():
     ``python __graft_entry__.py 8`` in a subprocess with the
     DRIVER-DEFAULT environment — no JAX_PLATFORMS pin, no
     xla_force_host_platform_device_count, axon plugin still on
-    PYTHONPATH — and requires exit 0, all three phase OK lines, and
-    each phase's self-reported wall time under its documented budget.
+    PYTHONPATH — and requires exit 0, all four phase OK lines (incl. the
+    round-4 spatial x kernel-pack phase), and each phase's self-reported
+    wall time under its documented budget.
     Fast tier ON PURPOSE: a driver-artifact regression must be
     impossible to commit silently (VERDICT r3 next #2)."""
     import os

@@ -68,6 +68,12 @@ SUPPORTED = [
     ("smdp", 2, dict()),
     ("smdp", 2, dict(remat=True, tpu_layout=True,
                      compute_dtype="bfloat16")),
+    # shard_map (data x spatial) with explicit conv halos
+    # (ops/spatialctx.py) — the round-4 cells that lift the
+    # spatial x kernel-pack exclusion
+    ("smsp", 1, dict()),
+    ("smsp", 1, dict(tpu_layout=True, compute_dtype="bfloat16")),
+    ("smsp", 2, dict()),
     # everything-on, no mesh: remat + fuse_apps + tpu_layout + bf16
     ("none", 1, dict(remat=True, fuse_apps=True, tpu_layout=True,
                      compute_dtype="bfloat16")),
@@ -95,6 +101,10 @@ def test_supported_combination_runs(parallel, k, knobs):
     elif parallel == "dpsp":
         mesh = create_spatial_mesh(data=2, spatial=2)
         spatial_axis = "spatial"
+    elif parallel == "smsp":
+        mesh = create_spatial_mesh(data=2, spatial=2)
+        spatial_axis = "spatial"
+        shard_map_dp = True
 
     build = dict(
         donate=False, mesh=mesh, spatial_axis=spatial_axis, **knobs
@@ -151,13 +161,18 @@ def test_tpu_layout_rejects_spatial_axis():
                 builder(models, optimizers, "mse", LOSS_WEIGHTS, **kwargs)
 
 
-def test_shard_map_dp_rejects_spatial_axis():
+def test_shard_map_accepts_spatial_axis_with_pack():
+    """shard_map + spatial + tpu_layout builds (round 4): the explicit-
+    halo path has no GSPMD/Pallas conflict, so the build-time exclusion
+    only applies to the annotation-driven path (the test above)."""
     models = build_models()
     _, optimizers = build_state(models)
     mesh = create_spatial_mesh(data=1, spatial=2)
-    with pytest.raises(ValueError, match="spatial"):
-        make_train_step(models, optimizers, "mse", LOSS_WEIGHTS, mesh=mesh,
-                        spatial_axis="spatial", shard_map_dp=True)
+    step = make_train_step(models, optimizers, "mse", LOSS_WEIGHTS,
+                           mesh=mesh, spatial_axis="spatial",
+                           shard_map_dp=True, tpu_layout=True,
+                           compute_dtype="bfloat16")
+    assert callable(step)
 
 
 def test_trainer_builds_multi_step_shard_map(tmp_path):
@@ -178,7 +193,10 @@ def test_trainer_builds_multi_step_shard_map(tmp_path):
     assert gan.multi_step_fn is not None
 
 
-def test_trainer_rejects_shard_map_with_spatial(tmp_path):
+def test_trainer_builds_shard_map_with_spatial(tmp_path):
+    """dp_shard_map + spatial mesh builds the explicit-halo
+    (data x spatial) shard_map path since round 4 (it raised through
+    round 3 as 'pure data-parallel')."""
     from cyclegan_tpu.trainer import CycleGan
 
     from tests.test_trainer import tiny_model_config, tiny_train_config
@@ -186,5 +204,5 @@ def test_trainer_rejects_shard_map_with_spatial(tmp_path):
     cfg = tiny_train_config()
     cfg.dp_shard_map = True
     mesh = create_spatial_mesh(data=1, spatial=2)
-    with pytest.raises(ValueError, match="spatial"):
-        CycleGan(tiny_model_config(tmp_path), cfg, mesh=mesh)
+    gan = CycleGan(tiny_model_config(tmp_path), cfg, mesh=mesh)
+    assert gan.spatial_axis == "spatial" and gan.dp_shard_map

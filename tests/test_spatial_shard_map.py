@@ -1,0 +1,288 @@
+"""Explicit-halo spatial sharding (ops/spatialctx.py): every op that
+exchanges rows under shard_map must be semantics-preserving vs the same
+op on the unsharded tensor. This is the machinery that lifts the
+round-3 spatial_axis x tpu_layout exclusion — the Pallas kernel pack
+runs inside shard_map on halo-extended local blocks, where no GSPMD
+partitioning decision about Mosaic custom calls exists.
+
+(Reference anchor: the shape-polymorphic generators,
+/root/reference/cyclegan/resnet.py:65 and unet.py:92 — high-resolution
+work is the regime spatial sharding exists for.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cyclegan_tpu.ops import conv, layout, norm, packctx, spatialctx
+
+RNG = np.random.default_rng(11)
+
+
+def _spatial_apply(fn, x, n=4, out_sharded=True):
+    """Run ``fn`` under an n-way H-sharded shard_map (closed-over values
+    replicate) and return the reassembled global result."""
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+
+    def body(xl):
+        with spatialctx.spatial("sp", n):
+            return fn(xl)
+
+    sm = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(None, "sp"),
+        out_specs=P(None, "sp") if out_sharded else P(),
+        check_vma=False,
+    )
+    return np.asarray(jax.jit(sm)(x))
+
+
+def _rand(shape, dtype=np.float32):
+    return RNG.uniform(-1, 1, size=shape).astype(dtype)
+
+
+@pytest.mark.parametrize("k,stride", [(3, 1), (4, 1), (5, 1), (7, 1),
+                                      (4, 2), (3, 2), (5, 2)])
+def test_conv2d_same_spatial_matches_global(k, stride):
+    x = _rand((2, 32, 16, 6))
+    w = _rand((k, k, 6, 8))
+    b = _rand((8,))
+    ref = conv.conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                      stride=stride)
+    got = _spatial_apply(
+        lambda xl: conv.conv2d(xl, jnp.asarray(w), jnp.asarray(b),
+                               stride=stride), x)
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [3, 4])
+def test_conv2d_transpose_spatial_matches_global(k):
+    x = _rand((2, 16, 8, 6))
+    w = _rand((k, k, 4, 6))  # HWOI (TF conv-transpose storage)
+    b = _rand((4,))
+    ref = conv.conv2d_transpose(jnp.asarray(x), jnp.asarray(w),
+                                jnp.asarray(b), stride=2)
+    got = _spatial_apply(
+        lambda xl: conv.conv2d_transpose(xl, jnp.asarray(w),
+                                         jnp.asarray(b), stride=2), x)
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [3, 7])
+def test_conv2d_reflect_spatial_matches_global(k):
+    x = _rand((2, 32, 16, 3))
+    w = _rand((k, k, 3, 8))
+    ref = conv.conv2d_reflect(jnp.asarray(x), jnp.asarray(w))
+    got = _spatial_apply(
+        lambda xl: conv.conv2d_reflect(xl, jnp.asarray(w)), x)
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
+def test_instance_norm_spatial_matches_global(dtype):
+    x = _rand((2, 32, 8, 6)).astype(dtype)
+    g = _rand((6,))
+    b = _rand((6,))
+    ref = norm.instance_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b))
+    got = _spatial_apply(
+        lambda xl: norm.instance_norm(xl, jnp.asarray(g), jnp.asarray(b)), x)
+    atol = 3e-2 if dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(
+        got.astype(np.float32), np.asarray(ref, dtype=np.float32), atol=atol)
+
+
+def test_conv2d_spatial_pallas_pack_matches_global():
+    """The NHCW Pallas conv runs UNCHANGED on the halo-extended block
+    (SAME on the extended rows == VALID interior, first/last pad rows
+    sliced off) — the heart of the spatial x kernel-pack composition."""
+    from cyclegan_tpu.ops import pallas_conv
+
+    x = _rand((2, 32, 128, 16)).astype(jnp.bfloat16)  # NHWC, W=128 lanes
+    w = _rand((4, 4, 16, 32)).astype(jnp.bfloat16)  # cout % 16 == 0 (gate)
+
+    def run(xl):
+        with layout.nhcw(), packctx.scope(True, interpret=True):
+            xt = layout.to_nhcw(xl)  # [B, H, C, W], W=128 lane-dense
+            assert conv.uses_pallas(xt, jnp.asarray(w)), "gate must take it"
+            y = conv.conv2d(xt, jnp.asarray(w))
+            return layout.from_nhcw(y)
+
+    # NOTE: uses_pallas sees the halo-extended H inside the shard_map
+    # body; profitable() does not depend on H divisibility so both sides
+    # dispatch to the kernel.
+    ref = run(jnp.asarray(x))
+    got = _spatial_apply(run, x)
+    np.testing.assert_allclose(
+        got.astype(np.float32), np.asarray(ref, dtype=np.float32),
+        atol=1e-2, rtol=1e-2)
+
+
+def _cyclegan_setup():
+    from cyclegan_tpu.models import create_model
+    from cyclegan_tpu.config import Namespace
+    from cyclegan_tpu.optimizers import get_optimizer
+    from cyclegan_tpu.steps import NETWORKS, init_train_state
+
+    gen = dict(type="unet_generator", filters=[4, 4], kernels=[3, 3],
+               output_channels=3, expansion="upsample",
+               normalization="instancenorm", dropout=False,
+               final_activation="tanh")
+    disc = dict(gen, output_channels=1, final_activation="sigmoid")
+    models = {
+        "g_AB": create_model(Namespace(gen)),
+        "g_BA": create_model(Namespace(gen)),
+        "d_A": create_model(Namespace(disc)),
+        "d_B": create_model(Namespace(disc)),
+    }
+    optimizers = {
+        n: get_optimizer(dict(name="adam", learning_rate=2e-4, beta_1=0.5))
+        for n in NETWORKS
+    }
+    state = init_train_state(jax.random.PRNGKey(0), models, optimizers)
+    return models, optimizers, state
+
+
+@pytest.mark.parity
+@pytest.mark.parametrize("tpu_layout", [False, True])
+def test_spatial_shard_map_train_step_matches_single_device(tpu_layout):
+    """Full train step on a 2x4 (data x spatial) shard_map — explicit
+    halos, psum'd IN stats, pmean'd grads over BOTH axes — must produce
+    the single-device metrics and params. With tpu_layout=True this is
+    the spatial x kernel-pack composition itself (bf16 + interpret-mode
+    Pallas on the CPU mesh), the combination that was a build-time
+    ValueError through round 3."""
+    from cyclegan_tpu.parallel import replicate
+    from cyclegan_tpu.parallel.spatial import create_spatial_mesh, \
+        shard_spatial
+    from cyclegan_tpu.steps import make_train_step
+
+    models, optimizers, state = _cyclegan_setup()
+    weights = dict(cycle=2.0, identity=0.5, generator=1.0,
+                   discriminator=0.5)
+    dtype = "bfloat16" if tpu_layout else "float32"
+
+    real_a = jnp.asarray(RNG.uniform(-1, 1, (4, 32, 32, 3)), jnp.float32)
+    real_b = jnp.asarray(RNG.uniform(-1, 1, (4, 32, 32, 3)), jnp.float32)
+
+    single = make_train_step(models, optimizers, "mse", weights,
+                             donate=False, compute_dtype=dtype,
+                             tpu_layout=tpu_layout)
+    s1, m1 = single(state, real_a, real_b)
+
+    mesh = create_spatial_mesh(data=2, spatial=4)
+    sharded = make_train_step(models, optimizers, "mse", weights,
+                              donate=False, mesh=mesh, mesh_axis="data",
+                              spatial_axis="spatial", shard_map_dp=True,
+                              compute_dtype=dtype, tpu_layout=tpu_layout)
+    state_r = replicate(mesh, state)
+    a_s, b_s = shard_spatial(mesh, (real_a, real_b))
+    s8, m8 = sharded(state_r, a_s, b_s)
+
+    # bf16 forward: per-shard reduction orders differ (psum'd partial IN
+    # sums, pmean'd grads), so allow bf16-scale slack; f32 is tight.
+    tol = 2e-2 if tpu_layout else 1e-5
+    for key in m1:
+        assert float(m1[key]) == pytest.approx(float(m8[key]), abs=tol), key
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s1.params))
+    p8, _ = jax.flatten_util.ravel_pytree(jax.device_get(s8.params))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                               atol=tol)
+
+
+@pytest.mark.parity
+def test_spatial_shard_map_validate_step_matches_single_device():
+    from cyclegan_tpu.parallel import replicate
+    from cyclegan_tpu.parallel.spatial import create_spatial_mesh, \
+        shard_spatial
+    from cyclegan_tpu.steps import make_validate_step
+
+    models, _, state = _cyclegan_setup()
+    weights = dict(cycle=2.0, identity=0.5, generator=1.0,
+                   discriminator=0.5)
+    real_a = jnp.asarray(RNG.uniform(-1, 1, (4, 32, 32, 3)), jnp.float32)
+    real_b = jnp.asarray(RNG.uniform(-1, 1, (4, 32, 32, 3)), jnp.float32)
+
+    single = make_validate_step(models, "mse", weights)
+    m1 = single(state, real_a, real_b)
+
+    mesh = create_spatial_mesh(data=2, spatial=4)
+    sharded = make_validate_step(models, "mse", weights, mesh=mesh,
+                                 mesh_axis="data", spatial_axis="spatial",
+                                 shard_map_dp=True)
+    m8 = sharded(replicate(mesh, state), *shard_spatial(mesh,
+                                                        (real_a, real_b)))
+    for key in m1:
+        assert float(m1[key]) == pytest.approx(float(m8[key]),
+                                               abs=1e-5), key
+
+
+@pytest.mark.parity
+def test_spatial_shard_map_resnet_family_matches_single_device():
+    """The resnet generator exercises the reflect-halo path (stem/head
+    k7/k3 reflect convs) and the k3-s2 transpose upsamples under the
+    spatial shard_map."""
+    from cyclegan_tpu.config import Namespace
+    from cyclegan_tpu.models import create_model
+    from cyclegan_tpu.ops import spatialctx
+
+    model = create_model(Namespace(dict(type="resnet_generator",
+                                        filters=8)))
+    params, state = model.init(jax.random.PRNGKey(1))
+    x = _rand((2, 32, 16, 3))
+
+    y0, _ = model.apply(params, state, jnp.asarray(x), train=False)
+
+    got = _spatial_apply(
+        lambda xl: model.apply(params, state, xl, train=False)[0], x)
+    np.testing.assert_allclose(got, np.asarray(y0), atol=1e-4)
+
+
+def test_gather_augment_slice_matches_whole_image():
+    """The train step's spatial augmentation recipe — all_gather H, run
+    the resize-based jitter on whole images with ONE rng, slice the
+    local strip back — must reassemble exactly the augmentation a single
+    device computes: a strip of a resized image is not the resize of a
+    strip, and every strip must agree on the crop/flip draw."""
+    from cyclegan_tpu.data.augment import random_jitter_batch
+
+    x = RNG.integers(0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+    key = jax.random.PRNGKey(3)
+    ref = np.asarray(random_jitter_batch(key, jnp.asarray(x), 32))
+
+    got = _spatial_apply(
+        lambda xl: spatialctx.slice_local_h(
+            random_jitter_batch(key, spatialctx.gather_h(xl), 32)
+        ),
+        x,
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_halo_exchange_gradient_routes_to_producer():
+    """d(loss)/dx must route halo-row cotangents back through ppermute:
+    summed per-shard grads == global grad (the property the train step's
+    pmean relies on)."""
+    w = jnp.asarray(_rand((3, 3, 4, 4)))
+    x = _rand((1, 16, 8, 4))
+
+    def loss_global(xx):
+        return jnp.sum(conv.conv2d(xx, w) ** 2)
+
+    ref = np.asarray(jax.grad(loss_global)(jnp.asarray(x)))
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+
+    def body(xl):
+        with spatialctx.spatial("sp", n):
+            # local loss; grads of the SUM decompose exactly over shards
+            return jax.grad(lambda xx: jnp.sum(conv.conv2d(xx, w) ** 2))(xl)
+
+    sm = jax.shard_map(body, mesh=mesh, in_specs=P(None, "sp"),
+                       out_specs=P(None, "sp"), check_vma=False)
+    got = np.asarray(jax.jit(sm)(x))
+    np.testing.assert_allclose(got, ref, atol=1e-4)

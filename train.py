@@ -62,11 +62,14 @@ def parse_arguments():
     parser.add_argument(
         "--dp_shard_map",
         action="store_true",
-        help="Route data parallelism through an explicit jax.shard_map "
+        help="Route partitioning through an explicit jax.shard_map "
         "instead of GSPMD sharding annotations (each chip traces the "
         "step — and any Pallas custom calls — at per-shard shapes by "
         "construction; the kernel-pack multi-chip insurance path, "
-        "steps.make_train_step docstring).",
+        "steps.make_train_step docstring). Combined with "
+        "--spatial_devices it runs the explicit-halo (data x spatial) "
+        "shard_map (ops/spatialctx.py), which is also how the Pallas "
+        "kernel pack composes with spatial sharding.",
     )
     # Multi-process pod launch (one process per host, same command on
     # every host): --distributed alone auto-detects coordinator/process
