@@ -12,6 +12,17 @@ def avg_pool2x2(x: jnp.ndarray) -> jnp.ndarray:
     Matches Keras ``AveragePooling2D()`` defaults used on the U-Net down
     path (cyclegan/unet.py:101).
     """
+    from cyclegan_tpu.ops import spatialctx
+
+    if spatialctx.is_active() and x.shape[1] % 2:
+        # An odd LOCAL H would pair rows across the shard boundary for
+        # odd-indexed shards — silently wrong. Pools never need a halo
+        # when the local height is even (windows are aligned).
+        raise ValueError(
+            f"2x2 pool on an odd local H shard ({x.shape[1]} rows): pick "
+            f"a resolution/spatial-device count whose per-shard height "
+            f"stays even through every pooling level"
+        )
     if layout.is_nhcw():
         from cyclegan_tpu.ops import pallas_resize
 

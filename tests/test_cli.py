@@ -138,6 +138,25 @@ def test_train_cli_spatial_devices(tmp_path, monkeypatch):
     assert (out / "checkpoint.npz").exists()
 
 
+def test_train_cli_spatial_shard_map(tmp_path, monkeypatch):
+    """--spatial_devices N --dp_shard_map trains end-to-end on the
+    explicit-halo (data x spatial) shard_map path (round 4,
+    ops/spatialctx.py): loaders -> H-sharded batches -> ppermute conv
+    halos -> checkpoint."""
+    import train as train_cli
+
+    data_dir = _make_records(tmp_path)
+    mc, tc = _write_configs(tmp_path)
+    monkeypatch.setattr(sys, "argv", [
+        "train.py", "--model_config", str(mc), "--train_config", str(tc),
+        "--data_dir", str(data_dir), "--num_devices", "8",
+        "--spatial_devices", "4", "--dp_shard_map",
+    ])
+    train_cli.main()
+    out = tmp_path / "model_instances" / "cli_smoke"
+    assert (out / "checkpoint.npz").exists()
+
+
 def test_train_cli_unknown_loader_raises(tmp_path, monkeypatch):
     import train as train_cli
 

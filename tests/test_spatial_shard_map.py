@@ -194,6 +194,45 @@ def test_spatial_shard_map_train_step_matches_single_device(tpu_layout):
 
 
 @pytest.mark.parity
+def test_spatial_shard_map_multi_step_matches_sequential():
+    """K=2 steps scanned INSIDE the (data x spatial) shard_map equal two
+    sequential single-device steps — steps_per_call composes with the
+    explicit-halo spatial path."""
+    from cyclegan_tpu.parallel import replicate
+    from cyclegan_tpu.parallel.spatial import create_spatial_mesh
+    from cyclegan_tpu.steps import make_train_multi_step, make_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    models, optimizers, state = _cyclegan_setup()
+    weights = dict(cycle=2.0, identity=0.5, generator=1.0,
+                   discriminator=0.5)
+    a = jnp.asarray(RNG.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
+    b = jnp.asarray(RNG.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
+
+    single = make_train_step(models, optimizers, "mse", weights,
+                             donate=False)
+    s_ref = state
+    for k in range(2):
+        s_ref, m_ref = single(s_ref, a[k], b[k])
+
+    mesh = create_spatial_mesh(data=2, spatial=4)
+    multi = make_train_multi_step(models, optimizers, "mse", weights,
+                                  donate=False, mesh=mesh,
+                                  mesh_axis="data", spatial_axis="spatial",
+                                  shard_map_dp=True)
+    sharding = NamedSharding(mesh, P(None, "data", "spatial"))
+    a_s, b_s = jax.device_put(a, sharding), jax.device_put(b, sharding)
+    s_sm, m_sm = multi(replicate(mesh, state), a_s, b_s)
+
+    for key in m_ref:
+        assert float(m_ref[key]) == pytest.approx(
+            float(m_sm[key][-1]), abs=2e-5), key
+    p1, _ = jax.flatten_util.ravel_pytree(jax.device_get(s_ref.params))
+    p2, _ = jax.flatten_util.ravel_pytree(jax.device_get(s_sm.params))
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
+@pytest.mark.parity
 def test_spatial_shard_map_validate_step_matches_single_device():
     from cyclegan_tpu.parallel import replicate
     from cyclegan_tpu.parallel.spatial import create_spatial_mesh, \
