@@ -193,6 +193,8 @@ def main():
     from cyclegan_tpu.utils.platform import honor_env_platform
 
     honor_env_platform()
+    from cyclegan_tpu.utils.platform import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     _probe_backend()
 
     if args.pallas:

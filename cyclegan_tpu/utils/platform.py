@@ -19,3 +19,30 @@ def honor_env_platform() -> None:
 
     if jax.config.jax_platforms != requested:
         jax.config.update("jax_platforms", requested)
+
+
+def enable_persistent_compilation_cache(cache_dir: str = "") -> str:
+    """Point XLA's persistent compilation cache at a stable directory.
+
+    Remote-tunneled TPU compiles of the full train step run minutes and
+    occasionally stall; the persistent cache makes every later process
+    that builds the SAME program (re-runs of bench.py, the driver's
+    bench, a restarted training job) load the serialized executable in
+    under a second (measured through this tunnel: 2.4 s cold -> 0.58 s
+    in a fresh process). Precedence: explicit argument >
+    ``JAX_COMPILATION_CACHE_DIR`` env > ``.jax_cache`` next to this
+    package's repo root. Returns the directory used. Call before first
+    backend use; CLI mains call it right after honor_env_platform.
+    """
+    import jax
+
+    cache_dir = (
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    return cache_dir

@@ -59,6 +59,8 @@ def cli_main():
     from cyclegan_tpu.utils.platform import honor_env_platform
 
     honor_env_platform()  # JAX_PLATFORMS env must win over harness plugins
+    from cyclegan_tpu.utils.platform import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     import argparse
 
     import cv2

@@ -202,6 +202,8 @@ def bench_reflect_shape(b, h, w, cin, cout, k):
 
 
 def main():
+    from cyclegan_tpu.utils.platform import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--reflect", action="store_true",
                     help="bench the resnet reflect-conv shapes "

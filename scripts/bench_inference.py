@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main():
+    from cyclegan_tpu.utils.platform import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--batch", type=int, default=8)

@@ -130,6 +130,8 @@ def group_key(name: str, category: str = "") -> str:
 
 
 def main():
+    from cyclegan_tpu.utils.platform import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--nhcw", action="store_true")
     ap.add_argument("--pack", action="store_true",

@@ -92,6 +92,8 @@ def main():
     from cyclegan_tpu.utils.platform import honor_env_platform
 
     honor_env_platform()
+    from cyclegan_tpu.utils.platform import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     import jax
 
     if args.distributed or args.coordinator:
