@@ -72,6 +72,20 @@ def test_conv2d_transpose_spatial_matches_global(k):
     np.testing.assert_allclose(got, np.asarray(ref), atol=1e-5)
 
 
+def test_conv2d_transpose_spatial_unsupported_kernel_fails_fast():
+    """k=5 s=2 gives pad_before' = 3, not a stride multiple — the halo
+    algebra needs a fractional-row shift we don't implement (no model
+    family uses such a transpose). Must be a clear NotImplementedError
+    at trace time, not silent wrong rows."""
+    x = _rand((1, 8, 8, 4))
+    w = _rand((5, 5, 4, 4))
+    with pytest.raises((NotImplementedError, Exception)) as ei:
+        _spatial_apply(
+            lambda xl: conv.conv2d_transpose(xl, jnp.asarray(w), stride=2),
+            x)
+    assert "pad_before" in str(ei.value) or "NotImplemented" in repr(ei)
+
+
 @pytest.mark.parametrize("k", [3, 7])
 def test_conv2d_reflect_spatial_matches_global(k):
     x = _rand((2, 32, 16, 3))
