@@ -127,6 +127,31 @@ _ACC_LANES = int(os.environ.get("PALLAS_ACC_LANES", "32768"))
 # (packed dispatch always uses the kernel-pad path regardless of
 # PALLAS_PAD).
 _WPACK = os.environ.get("PALLAS_WPACK", "0") == "1"
+# Reflect-conv implementation. "fold" (DEFAULT): materialize the
+# reflect-padded input with one XLA pad (H+2p rows, W lane-rounded
+# 262 -> 384 for W=256) and run the full-correlation dX over that
+# rounded domain, folding halo gradients back afterwards — every
+# matmul lane and slab copy of the dX/dW passes carries the 384/262 =
+# 1.47x alignment waste (docs/NEXT.md item 15c). "decomp": reflect =
+# zero-SAME + exact border terms — main fwd/dX/dW on the aligned
+# kernel-pad SAME machinery (no padded materialization, no lane
+# rounding), p-wide output frame overwritten (fwd) / cotangent-frame
+# partitioned and corrected by one strip-function vjp (bwd).
+# MEASURED NEGATIVE, round 4 (TPU v5e, scripts/bench_deep_layout.py
+# --reflect --impl pallas, stem 3->64 / head 64->3 k7 @256^2 b8,
+# fold baseline stem fwd 581 us full ~4000 / head fwd 1806 full 4129):
+# the main-path realignment DOES save ~0.7 ms on the head backward,
+# but every border-term implementation tried costs more than that on
+# the thin K-row/K-col strips: (a) composed XLA convs — stem fwd
+# 2096 us (Cin=3 strip convs ~375 us EACH, the narrow-channel conv
+# pathology), head full 4340; (b) NHWC im2col + one dot — stem fwd
+# 4186, head full 25809 (tiny-C lane occupancy); (c) lane-dense NHCW
+# K^2-stack + multi-dim dot — stem full 5081 (best decomp stem, still
+# +27%), head fwd 12666 (the 49x patch duplication is 154 MB at
+# C=64). The knob + exact both-mode tests stay for re-evaluation if a
+# cheap strip primitive appears (e.g. a dedicated Pallas strip
+# kernel); fold remains the default.
+_REFLECT_DECOMP = os.environ.get("PALLAS_REFLECT", "fold") == "decomp"
 
 
 def enable(on: bool = True) -> None:
@@ -1047,10 +1072,101 @@ def conv2d_reflect_nhcw(x: jnp.ndarray, w_hwio: jnp.ndarray) -> jnp.ndarray:
     return _conv_reflect_fwd_impl(x, w_hwio)
 
 
+def _strip_top(xs: jnp.ndarray, w_hwio: jnp.ndarray,
+               p: int) -> jnp.ndarray:
+    """Exact reflect-conv output rows 0..p-1 from the first-K-rows NHCW
+    slice xs [B, K, C, L]. Lane-dense by construction: every tensor
+    keeps the image's L (>=128) in the lane dim — XLA's conv lowering
+    and NHWC im2col on these narrow-channel strips measured 0.37-2 ms
+    each on TPU v5e (the few-channel pathology the main kernels
+    bypass); here the strip is 49 full-lane slice copies (~2 MB) and
+    ONE multi-dim dot_general. Output row h < p reads padded rows
+    h..h+K-1 <= K+p-1 of the row-reflect-extended slice and reflected
+    lanes at both ends (corner double-reflect included), so the strip
+    is exact wherever the full conv's taps stay inside rows 0..K-1 —
+    i.e. for all p strip rows."""
+    K = int(w_hwio.shape[0])
+    prec = (jax.lax.Precision.HIGHEST
+            if xs.dtype == jnp.float32 else None)
+    L = int(xs.shape[3])
+    top = jnp.flip(xs[:, 1:p + 1], axis=1)
+    xpad = jnp.concatenate([top, xs], axis=1)  # [B, K+p, C, L]
+    xpad = jnp.pad(xpad, ((0, 0), (0, 0), (0, 0), (p, p)),
+                   mode="reflect")
+    pat = jnp.stack([xpad[:, ky:ky + p, :, kx:kx + L]
+                     for ky in range(K) for kx in range(K)])
+    w_r = w_hwio.astype(xs.dtype).reshape(K * K, -1,
+                                          int(w_hwio.shape[3]))
+    y = jax.lax.dot_general(
+        pat, w_r, dimension_numbers=(((0, 3), (0, 1)), ((), ())),
+        precision=prec, preferred_element_type=jnp.float32)
+    # [B, p, L, Cout] -> [B, p, Cout, L]
+    return jnp.transpose(y, (0, 1, 3, 2)).astype(xs.dtype)
+
+
+def _tiny_reflect_strips(x: jnp.ndarray, w_hwio: jnp.ndarray, p: int):
+    """(top, bottom, left, right) exact reflect-conv border strips of
+    the NHCW image x — each computed by `_strip_top` under the flip /
+    transpose symmetry that maps that edge to the top edge (reflect
+    conv commutes with spatial flips and with H<->W transposition when
+    the kernel flips/transposes along)."""
+    K = int(w_hwio.shape[0])
+    H, W = int(x.shape[1]), int(x.shape[3])
+    t = _strip_top(x[:, :K], w_hwio, p)
+    bo = jnp.flip(
+        _strip_top(jnp.flip(x[:, H - K:], axis=1),
+                   jnp.flip(w_hwio, axis=0), p), axis=1)
+    xt_l = jnp.transpose(x[:, :, :, :K], (0, 3, 2, 1))
+    w_t = jnp.transpose(w_hwio, (1, 0, 2, 3))
+    le = jnp.transpose(_strip_top(xt_l, w_t, p), (0, 3, 2, 1))
+    xt_r = jnp.transpose(jnp.flip(x[:, :, :, W - K:], axis=3),
+                         (0, 3, 2, 1))
+    ri = jnp.flip(
+        jnp.transpose(_strip_top(xt_r, jnp.flip(w_t, axis=0), p),
+                      (0, 3, 2, 1)), axis=3)
+    return t, bo, le, ri
+
+
+def _reflect_decomp_ok(H: int, W: int, K: int) -> bool:
+    """The decomp's edge slices take K full rows/cols of the image."""
+    return H >= K and W >= K
+
+
+def _conv_reflect_fwd_decomp(x, w_hwio):
+    """reflect = zero-SAME (kernel-pad Pallas, aligned W) + exact frame
+    overwrite. Interior outputs read no halo, so the SAME kernel is
+    exact there; the p-wide output frame is recomputed by tiny composed
+    convs on K-row/K-col slices (each strip's validity: output row
+    h < p reads padded rows <= h + 2p <= K - 1, inside the slice; the
+    H-edge strips carry full W with W-reflect and the W-edge strips
+    full H with H-reflect, so corners are exact in both — overlapping
+    writes agree)."""
+    K = int(w_hwio.shape[0])
+    p = K // 2
+    B, H, C, W = x.shape
+    C_pad = _round_up(C, 16)
+    Cout = int(w_hwio.shape[3])
+    Cout_pad = _round_up(Cout, 16)
+    wp = w_hwio if Cout == Cout_pad else jnp.pad(
+        w_hwio, ((0, 0), (0, 0), (0, 0), (0, Cout_pad - Cout)))
+    w2 = _repack_fwd(wp.astype(x.dtype), C_pad, flip=False, swap=False)
+    y = _conv_nhcw_padded(x, w2, K, H, W, ptop=p, pleft=p, C_slab=C_pad)
+    if Cout != Cout_pad:
+        y = y[:, :, :Cout, :]
+    t, bo, le, ri = _tiny_reflect_strips(x, w_hwio, p)
+    y = y.at[:, :p].set(t.astype(y.dtype))
+    y = y.at[:, H - p:].set(bo.astype(y.dtype))
+    y = y.at[:, :, :, :p].set(le.astype(y.dtype))
+    y = y.at[:, :, :, W - p:].set(ri.astype(y.dtype))
+    return y
+
+
 def _conv_reflect_fwd_impl(x, w_hwio):
     K = int(w_hwio.shape[0])
     p = K // 2
     B, H, C, W = x.shape
+    if _REFLECT_DECOMP and _reflect_decomp_ok(H, W, K):
+        return _conv_reflect_fwd_decomp(x, w_hwio)
     C_pad = _round_up(C, 16)
     Cout = int(w_hwio.shape[3])
     Cout_pad = _round_up(Cout, 16)
@@ -1066,11 +1182,68 @@ def _conv_reflect_fwd_rule(x, w_hwio):
     return _conv_reflect_fwd_impl(x, w_hwio), (x, w_hwio)
 
 
+def _conv_reflect_bwd_decomp(x, w_hwio, g):
+    """Decomp backward: dF/dx at interior OUTPUT positions equals the
+    zero-SAME derivative (no halo taps), so with the cotangent's frame
+    zeroed the main dX/dW run the aligned kernel-pad SAME paths; the
+    frame cotangent is partitioned into disjoint top/bottom rows
+    (0..p-1 / H-p..H-1, full width) and left/right cols (p..H-p-1 rows
+    only), and each part's exact contribution is one jax.vjp of the
+    tiny composed conv on the matching K-row/K-col slice (linearity in
+    the cotangent makes the sum exact; corners belong to the H strips)."""
+    K = int(w_hwio.shape[0])
+    p = K // 2
+    B, H, C, W = x.shape
+    Cin_pad = _round_up(C, 16)
+    Cout = int(w_hwio.shape[3])
+    Cout_pad = _round_up(Cout, 16)
+
+    g_int = jnp.pad(g[:, p:H - p, :, p:W - p],
+                    ((0, 0), (p, p), (0, 0), (p, p)))
+    gi = _pad_channels(g_int, Cout_pad).astype(x.dtype)
+
+    w_t = _repack_fwd(w_hwio.astype(x.dtype), Cout_pad, flip=True,
+                      swap=True)
+    if C != Cin_pad:
+        cin_axis_pad = ((0, 0), (0, Cin_pad - C)) \
+            if (_W_DEPTH_MAJOR and not _FWD_STACKED) \
+            else ((0, Cin_pad - C), (0, 0))
+        w_t = jnp.pad(w_t, cin_axis_pad)
+    dx = _conv_nhcw_padded(gi, w_t, K, H, W, ptop=p, pleft=p,
+                           C_slab=Cout_pad)[:, :, :C, :]
+    dw_flat = _conv_dw_padded(x, gi, K, H, W, Cout_pad, ptop=p, pleft=p,
+                              C_slab=Cin_pad)
+    dw = dw_flat.T.reshape(K, K, Cin_pad, Cout_pad)[:, :, :C, :Cout]
+    dw = dw.astype(jnp.float32)
+
+    # Border terms: ONE vjp of the 4-strip function. Cotangents are the
+    # frame parts of g partitioned disjointly — top/bottom rows own the
+    # corners (full width), left/right take interior rows only.
+    ct_dt = x.dtype
+    _, vjp_fn = jax.vjp(
+        lambda xv, wv: _tiny_reflect_strips(xv, wv, p), x, w_hwio)
+    cot = (
+        g[:, :p].astype(ct_dt),
+        g[:, H - p:].astype(ct_dt),
+        jnp.pad(g[:, p:H - p, :, :p],
+                ((0, 0), (p, p), (0, 0), (0, 0))).astype(ct_dt),
+        jnp.pad(g[:, p:H - p, :, W - p:],
+                ((0, 0), (p, p), (0, 0), (0, 0))).astype(ct_dt),
+    )
+    dxs, dws = vjp_fn(cot)
+    dx = dx + dxs.astype(dx.dtype)
+    dw = dw + dws.astype(jnp.float32)
+
+    return dx.astype(x.dtype), dw.astype(w_hwio.dtype)
+
+
 def _conv_reflect_bwd_rule(res, g):
     x, w_hwio = res
     K = int(w_hwio.shape[0])
     p = K // 2
     B, H, C, W = x.shape
+    if _REFLECT_DECOMP and _reflect_decomp_ok(H, W, K):
+        return _conv_reflect_bwd_decomp(x, w_hwio, g)
     Cin_pad = _round_up(C, 16)
     Cout = int(w_hwio.shape[3])
     Cout_pad = _round_up(Cout, 16)

@@ -131,7 +131,8 @@ REFLECT_SHAPES = [
 ]
 
 
-def bench_reflect_shape(b, h, w, cin, cout, k):
+def bench_reflect_shape(b, h, w, cin, cout, k, impls=("pallas",
+                                                      "xla-nhwc")):
     from cyclegan_tpu import ops
 
     wt = jnp.asarray(
@@ -177,6 +178,8 @@ def bench_reflect_shape(b, h, w, cin, cout, k):
     rows = []
     for name, op, xin in (("pallas", op_pallas, x_nhcw),
                           ("xla-nhwc", op_xla, x_nhwc)):
+        if name not in impls:
+            continue
         ops.enable_kernel_pack(name == "pallas")
         try:
             t_f = chain_time(scanned(fwd_step(op, xin)[0]), xin)
@@ -208,11 +211,19 @@ def main():
     ap.add_argument("--reflect", action="store_true",
                     help="bench the resnet reflect-conv shapes "
                          "(pallas vs XLA NHWC fallback)")
+    ap.add_argument("--only", default="",
+                    help="comma-separated shape indices to bench")
+    ap.add_argument("--impl", default="pallas,xla-nhwc",
+                    help="comma-separated impls for --reflect rows")
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
+    only = {int(i) for i in args.only.split(",") if i != ""}
     if args.reflect:
-        for shape in REFLECT_SHAPES:
-            bench_reflect_shape(*shape)
+        impls = tuple(args.impl.split(","))
+        for i, shape in enumerate(REFLECT_SHAPES):
+            if only and i not in only:
+                continue
+            bench_reflect_shape(*shape, impls=impls)
     else:
         for shape in SHAPES:
             bench_shape(*shape)

@@ -341,6 +341,35 @@ def _reflect_ref(x_nhwc, w):
     return conv2d(reflection_pad2d(x_nhwc, (p, p)), w, padding="VALID")
 
 
+@pytest.mark.parametrize("h,w,cin,cout,k", [REFLECT_SHAPES[0],
+                                            REFLECT_SHAPES[1]])
+def test_reflect_decomp_mode_matches(h, w, cin, cout, k, monkeypatch):
+    """The decomp implementation (PALLAS_REFLECT=decomp: aligned
+    kernel-pad SAME main passes + exact border-strip terms) must stay
+    exact — kept as an A/B alternative to the fold default (see the
+    measured negative at pallas_conv._REFLECT_DECOMP)."""
+    monkeypatch.setattr(pallas_conv, "_REFLECT_DECOMP", True)
+    x = _rand((2, h, w, cin), seed=20)
+    wt = _rand((k, k, cin, cout), seed=21) * 0.1
+    ct = _rand((2, h, w, cout), seed=22)
+
+    def pl_op(x, w):
+        x_cf = jnp.swapaxes(x, 2, 3)
+        y = pallas_conv.conv2d_reflect_nhcw(x_cf, w)
+        return jnp.swapaxes(y, 2, 3)
+
+    ref_out, ref_vjp = jax.vjp(_reflect_ref, x, wt)
+    got_out, got_vjp = jax.vjp(pl_op, x, wt)
+    np.testing.assert_allclose(np.asarray(got_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    ref_dx, ref_dw = ref_vjp(ct)
+    got_dx, got_dw = got_vjp(ct)
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(ref_dx),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_dw), np.asarray(ref_dw),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("h,w,cin,cout,k", REFLECT_SHAPES)
 def test_reflect_forward_and_vjp_match(h, w, cin, cout, k):
     from cyclegan_tpu.ops import layout
