@@ -88,10 +88,18 @@ _W_DEPTH_MAJOR = os.environ.get("PALLAS_W_FORM", "rowmajor") == "depthmajor"
 # VMEM budget for the dx-shifted slab scratch. Larger budgets allow more
 # rows R per grid step, amortizing the (R+K-1)/R halo re-read/re-shift
 # overhead — the kernel's measured bottleneck (see the stacked-forward
-# negative result in BASELINE.md). v5e has >= 64 MB of VMEM. A/B on-chip
-# (staged sweep, whole default recipe): 3.5 MB 69.7, 8 MB 71.0, 16 MB
-# 70.8 img/s — 8 MB is the default.
-_VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(8_000_000)))
+# negative result in BASELINE.md). v5e has >= 64 MB of VMEM. Round-2 A/B
+# (staged, whole default recipe, ACC_LANES=4096): 3.5 MB 69.7, 8 MB
+# 71.0, 16 MB 70.8 img/s -> 8 MB. RE-SWEPT round 4 after the ACC_LANES
+# 32768 retune made R slab-bound rather than lane-target-bound
+# (bench.py, TPU v5e, one session): flagship 87.77 @8 MB -> 90.08
+# @16 MB (+2.6%), resnet --fuse-apps 100.98 -> 101.65, patchgan b8
+# 149.26 -> (see BASELINE.md round 4). 24 MB does NOT compile: the
+# stacked-dW kernel's slab + lane-shifted dY scratch pair blows the
+# 64 MB scoped-vmem ceiling by 10 MB on the C=128 bottom convs
+# (compile-time OOM) — 16 MB is the default and near the structural
+# ceiling.
+_VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(16_000_000)))
 # SAME-padding site. "xla" (legacy): every conv call materializes a
 # spatially padded copy of its input (jnp.pad to [Hp, C_pad, W_lane],
 # W_lane lane-rounded to 384 for W=256 / 256 for W=128) — 3 full-tensor
