@@ -94,11 +94,13 @@ _W_DEPTH_MAJOR = os.environ.get("PALLAS_W_FORM", "rowmajor") == "depthmajor"
 # 32768 retune made R slab-bound rather than lane-target-bound
 # (bench.py, TPU v5e, one session): flagship 87.77 @8 MB -> 90.08
 # @16 MB (+2.6%), resnet --fuse-apps 100.98 -> 101.65, patchgan b8
-# 149.26 -> (see BASELINE.md round 4). 24 MB does NOT compile: the
-# stacked-dW kernel's slab + lane-shifted dY scratch pair blows the
-# 64 MB scoped-vmem ceiling by 10 MB on the C=128 bottom convs
-# (compile-time OOM) — 16 MB is the default and near the structural
-# ceiling.
+# 149.26 -> 153.78. 20 MB still compiles and adds +0.6% (flagship
+# 90.63, resnet 101.77) but sits at the scoped-vmem knife edge; 24 MB
+# does NOT compile: the stacked-dW kernel's slab + lane-shifted dY
+# scratch pair blows the 64 MB scoped-vmem ceiling by 10 MB on the
+# C=128 bottom convs (compile-time OOM). 16 MB ships as the default
+# for headroom on unshipped shapes; set PALLAS_VMEM_CAP=20000000 for
+# the last 0.6% on the measured configs.
 _VMEM_CAP = int(os.environ.get("PALLAS_VMEM_CAP", str(16_000_000)))
 # SAME-padding site. "xla" (legacy): every conv call materializes a
 # spatially padded copy of its input (jnp.pad to [Hp, C_pad, W_lane],
