@@ -1138,8 +1138,14 @@ def _tiny_reflect_strips(x: jnp.ndarray, w_hwio: jnp.ndarray, p: int):
 
 
 def _reflect_decomp_ok(H: int, W: int, K: int) -> bool:
-    """The decomp's edge slices take K full rows/cols of the image."""
-    return H >= K and W >= K
+    """The decomp's edge slices take K full rows/cols of the image.
+
+    K must be odd (reflect pad p = K//2 on both sides only reproduces
+    SAME geometry for odd K) and > 1 (K=1 has p=0: nothing to reflect,
+    and the strip stacks would be zero-size) — callers normally gate via
+    ``profitable_reflect``, but the env knob must be safe for any direct
+    ``conv2d_reflect_nhcw`` call."""
+    return H >= K and W >= K and K % 2 == 1 and K > 1
 
 
 def _conv_reflect_fwd_decomp(x, w_hwio):

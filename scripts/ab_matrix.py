@@ -32,7 +32,9 @@ import sys
 
 MATRIX = {
     "PALLAS_W_FORM": ["rowmajor", "depthmajor"],
-    "PALLAS_VMEM_CAP": ["3500000", "8000000", "16000000"],
+    # 16 MB is the shipped default (round-4 re-sweep); 20 MB is the
+    # documented knife-edge before the 24 MB compile-time VMEM OOM
+    "PALLAS_VMEM_CAP": ["8000000", "16000000", "20000000"],
     "PALLAS_PAD": ["xla", "kernel"],
     "PALLAS_WPACK": ["0", "1"],
     # per-grid-step traffic target of the chunked copy kernels

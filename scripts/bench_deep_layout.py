@@ -216,10 +216,18 @@ def main():
     ap.add_argument("--impl", default="pallas,xla-nhwc",
                     help="comma-separated impls for --reflect rows")
     args = ap.parse_args()
-    print(f"devices: {jax.devices()}", flush=True)
     only = {int(i) for i in args.only.split(",") if i != ""}
+    bad = only - set(range(len(REFLECT_SHAPES)))
+    if bad:
+        ap.error(f"--only indices {sorted(bad)} out of range "
+                 f"(have {len(REFLECT_SHAPES)} reflect shapes)")
+    impls = tuple(args.impl.split(","))
+    bad_impls = set(impls) - {"pallas", "xla-nhwc"}
+    if bad_impls:
+        ap.error(f"unknown --impl {sorted(bad_impls)} "
+                 "(choose from: pallas, xla-nhwc)")
+    print(f"devices: {jax.devices()}", flush=True)
     if args.reflect:
-        impls = tuple(args.impl.split(","))
         for i, shape in enumerate(REFLECT_SHAPES):
             if only and i not in only:
                 continue

@@ -341,8 +341,7 @@ def _reflect_ref(x_nhwc, w):
     return conv2d(reflection_pad2d(x_nhwc, (p, p)), w, padding="VALID")
 
 
-@pytest.mark.parametrize("h,w,cin,cout,k", [REFLECT_SHAPES[0],
-                                            REFLECT_SHAPES[1]])
+@pytest.mark.parametrize("h,w,cin,cout,k", REFLECT_SHAPES)
 def test_reflect_decomp_mode_matches(h, w, cin, cout, k, monkeypatch):
     """The decomp implementation (PALLAS_REFLECT=decomp: aligned
     kernel-pad SAME main passes + exact border-strip terms) must stay
