@@ -98,8 +98,16 @@ def concat2_nhcw(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def _concat2_impl(a, b):
     B, H, C1, W = a.shape
     C2 = b.shape[2]
+    R = _chunk_rows(H, W, C1 + C2, a.dtype.itemsize)
+    return _concat2_call(B, H, C1, C2, W, R, a.dtype, _interpret())(a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _concat2_call(B, H, C1, C2, W, R, dtype, interpret):
+    """Memoized concat pallas_call — a shared callable per static shape
+    lets JAX's trace/lowering caches dedupe the kernel across repeated
+    layers (see pallas_conv._conv_fwd_call)."""
     C = C1 + C2
-    R = _chunk_rows(H, W, C, a.dtype.itemsize)
     grid = (B, H // R)
     return pl.pallas_call(
         functools.partial(_concat2_kernel, R=R, C1=C1),
@@ -112,20 +120,26 @@ def _concat2_impl(a, b):
         ],
         out_specs=pl.BlockSpec((1, R, C, W), lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, C, W), a.dtype),
-        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, W), dtype),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=0,
-            bytes_accessed=2 * B * H * C * W * a.dtype.itemsize,
+            bytes_accessed=2 * B * H * C * W * dtype.itemsize,
             transcendentals=0,
         ),
-    )(a, b)
+    )
 
 
 def _split2(g, C1):
     B, H, C, W = g.shape
-    C2 = C - C1
     R = _chunk_rows(H, W, C, g.dtype.itemsize)
+    return _split2_call(B, H, C1, C, W, R, g.dtype, _interpret())(g)
+
+
+@functools.lru_cache(maxsize=None)
+def _split2_call(B, H, C1, C, W, R, dtype, interpret):
+    """Memoized split (concat adjoint) pallas_call (see _concat2_call)."""
+    C2 = C - C1
     grid = (B, H // R)
     return pl.pallas_call(
         functools.partial(_split2_kernel, R=R, C1=C1),
@@ -141,16 +155,16 @@ def _split2(g, C1):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, C1, W), g.dtype),
-            jax.ShapeDtypeStruct((B, H, C2, W), g.dtype),
+            jax.ShapeDtypeStruct((B, H, C1, W), dtype),
+            jax.ShapeDtypeStruct((B, H, C2, W), dtype),
         ],
-        interpret=_interpret(),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=0,
-            bytes_accessed=2 * B * H * C * W * g.dtype.itemsize,
+            bytes_accessed=2 * B * H * C * W * dtype.itemsize,
             transcendentals=0,
         ),
-    )(g)
+    )
 
 
 def _concat2_fwd(a, b):
@@ -241,10 +255,18 @@ def concat_up2_nhcw(skip: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 def _concat_up2_impl(skip, x):
     B, H, C1, W = skip.shape
     h, C2, w = x.shape[1], x.shape[2], x.shape[3]
-    C = C1 + C2
     CH = _up_chunk(h, w, C1, C2, skip.dtype.itemsize)
-    grid = (B, h // CH)
     e = interleave_matrix(w, jnp.float32)
+    return _concat_up2_call(B, H, C1, C2, W, w, CH, skip.dtype,
+                            _interpret())(skip, x, e)
+
+
+@functools.lru_cache(maxsize=None)
+def _concat_up2_call(B, H, C1, C2, W, w, CH, dtype, interpret):
+    """Memoized upsample+concat junction pallas_call (_concat2_call)."""
+    C = C1 + C2
+    h = H // 2
+    grid = (B, h // CH)
     return pl.pallas_call(
         functools.partial(_concat_up2_kernel, C1=C1, CH=CH),
         grid=grid,
@@ -259,24 +281,32 @@ def _concat_up2_impl(skip, x):
         out_specs=pl.BlockSpec((1, 2 * CH, C, W),
                                lambda bi, i: (bi, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, C, W), skip.dtype),
-        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((B, H, C, W), dtype),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * h * C2 * w * W,
             bytes_accessed=(2 * B * H * C1 * W + B * h * C2 * w
-                            + B * H * C2 * W) * skip.dtype.itemsize,
+                            + B * H * C2 * W) * dtype.itemsize,
             transcendentals=0,
         ),
-    )(skip, x, e)
+    )
 
 
 def _split_pool2(g, C1, c2_dtype):
     B, H, C, W = g.shape
     C2 = C - C1
-    h, w = H // 2, W // 2
-    CH = _up_chunk(h, w, C1, C2, g.dtype.itemsize)
-    grid = (B, h // CH)
+    CH = _up_chunk(H // 2, W // 2, C1, C2, g.dtype.itemsize)
     p = pair_sum_matrix(W, jnp.float32)
+    return _split_pool2_call(B, H, C1, C, W, CH, g.dtype, c2_dtype,
+                             _interpret())(g, p)
+
+
+@functools.lru_cache(maxsize=None)
+def _split_pool2_call(B, H, C1, C, W, CH, dtype, c2_dtype, interpret):
+    """Memoized junction adjoint pallas_call (see _concat2_call)."""
+    C2 = C - C1
+    h, w = H // 2, W // 2
+    grid = (B, h // CH)
     return pl.pallas_call(
         functools.partial(_split_pool2_kernel, C1=C1, CH=CH),
         grid=grid,
@@ -293,16 +323,16 @@ def _split_pool2(g, C1, c2_dtype):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, C1, W), g.dtype),
+            jax.ShapeDtypeStruct((B, H, C1, W), dtype),
             jax.ShapeDtypeStruct((B, h, C2, w), c2_dtype),
         ],
-        interpret=_interpret(),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * h * C2 * W * w,
-            bytes_accessed=2 * B * H * C * W * g.dtype.itemsize,
+            bytes_accessed=2 * B * H * C * W * dtype.itemsize,
             transcendentals=0,
         ),
-    )(g, p)
+    )
 
 
 def _concat_up2_fwd(skip, x):

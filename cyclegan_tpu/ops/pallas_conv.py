@@ -455,12 +455,42 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
     extra = K * Cout * Wk * 4 if _FWD_STACKED else 0
     R = _choose_rows(H, Wk, K, C, xp.dtype.itemsize, extra)
     n_rows = R + K - 1
-    grid = (B // P, H // R)
 
     # Kernel-pad mode keeps xp 4-D so the C dim is a FULL array dim
     # (Mosaic's last-two-dims rule rejects C_src % 8 != 0 sublane blocks
     # of a folded H*C axis — e.g. the 3-channel stem conv).
     xp_rows = xp if kernel_pad else xp.reshape(B, H_in * C_src, W_in)
+    if _FWD_STACKED:
+        KC = K * C
+        w_op = w2.reshape(Cout, K, KC).swapaxes(0, 1).reshape(K * Cout, KC)
+    else:
+        # Depthmajor operands arrive pre-built as [KKC, Cout]
+        # (`_repack_depth` — no XLA transpose); rowmajor as [Cout, KKC].
+        w_op = w2
+    call = _conv_fwd_call(
+        B, H_in, C_src, W_in, H, W, K, ptop, pleft, C, kernel_pad, P,
+        Cout, depth_major, _FWD_STACKED, R, xp.dtype, _interpret(),
+    )
+    out = call(*([xp_rows] * n_rows), w_op)
+    return out.reshape(B, H, Cout, W)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_fwd_call(B, H_in, C_src, W_in, H, W, K, ptop, pleft, C,
+                   kernel_pad, P, Cout, depth_major,
+                   fwd_stacked, R, dtype, interpret):
+    """Memoized constructor for the forward/dX conv pallas_call.
+
+    Every argument is a static scalar, so the returned jit-wrapped
+    callable — and with it the traced kernel jaxpr inside the
+    pallas_call equation — is SHARED across the step's repeated
+    applications of the same layer shape. JAX's trace and MLIR lowering
+    caches then dedupe: one kernel lowering per distinct shape instead
+    of one per application (the 6G/4D step repeats every layer 4-6x;
+    measured 11x lowering-time difference on a 20-call microbench)."""
+    Wk = P * W
+    n_rows = R + K - 1
+    grid = (B // P, H // R)
     fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
                     R=R, H_img=H_in, P=P, H_out=H) if kernel_pad else {})
 
@@ -478,24 +508,19 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
             memory_space=pltpu.VMEM,
         )
 
-    if _FWD_STACKED:
-        KC = K * C
-        w_op = w2.reshape(Cout, K, KC).swapaxes(0, 1).reshape(K * Cout, KC)
-        w_shape = (K * Cout, KC)
+    if fwd_stacked:
+        w_shape = (K * Cout, K * C)
         kernel = functools.partial(
             _conv_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=Wk, P=P,
             n_rows=n_rows, fill_kw=fill_kw
         )
     else:
-        # Depthmajor operands arrive pre-built as [KKC, Cout]
-        # (`_repack_depth` — no XLA transpose); rowmajor as [Cout, KKC].
-        w_op = w2
         w_shape = (K * K * C, Cout) if depth_major else (Cout, K * K * C)
         kernel = functools.partial(
             _conv_kernel, K=K, C=C, Cout=Cout, R=R, W=Wk, P=P,
             n_rows=n_rows, fill_kw=fill_kw
         )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[row_spec(j) for j in range(n_rows)]
@@ -509,20 +534,19 @@ def _conv_nhcw_padded(xp: jnp.ndarray, w2: jnp.ndarray, K: int, H: int,
             (P, R * Cout, W), lambda b, i: (b, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, (H // R) * R * Cout, W), xp.dtype),
-        scratch_shapes=[pltpu.VMEM((K * C, n_rows * Wk), xp.dtype)],
-        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((B, (H // R) * R * Cout, W), dtype),
+        scratch_shapes=[pltpu.VMEM((K * C, n_rows * Wk), dtype)],
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * K * K * C * Cout,
             bytes_accessed=(B * H_in * C_src * W_in + B * H * Cout * W)
-            * xp.dtype.itemsize,
+            * dtype.itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(*([xp_rows] * n_rows), w_op)
-    return out.reshape(B, H, Cout, W)
+    )
 
 
 def _dw_kernel_stacked(*refs, K, C, Cout, R, W, P, n_rows, fill_kw):
@@ -648,10 +672,25 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
     extra = K * Cout * Wk * xp.dtype.itemsize if _DW_STACKED else 0
     R = _choose_rows(H, Wk, K, C, xp.dtype.itemsize, extra)
     n_rows = R + K - 1
-    grid = (B // P, H // R)
     # 4-D in kernel-pad mode — see the forward path's row_spec note.
     xp_rows = xp if kernel_pad else xp.reshape(B, H_in * C_src, W_in)
     dy_rows = dy.reshape(B, H * Cout, W)
+    call = _conv_dw_call(
+        B, H_in, C_src, W_in, H, W, K, ptop, pleft, C, kernel_pad, P,
+        Cout, _DW_STACKED, R, xp.dtype, _interpret(),
+    )
+    return call(*([xp_rows] * n_rows), dy_rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_dw_call(B, H_in, C_src, W_in, H, W, K, ptop, pleft, C,
+                  kernel_pad, P, Cout, dw_stacked, R, dtype, interpret):
+    """Memoized constructor for the dW pallas_call (see _conv_fwd_call
+    for why: shared callables dedupe trace + lowering across repeated
+    applications of the same layer shape)."""
+    Wk = P * W
+    n_rows = R + K - 1
+    grid = (B // P, H // R)
     fill_kw = (dict(W_in=W_in, C_src=C_src, pleft=pleft, ptop=ptop,
                     R=R, H_img=H_in, P=P, H_out=H) if kernel_pad else {})
 
@@ -669,14 +708,14 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
             memory_space=pltpu.VMEM,
         )
 
-    if _DW_STACKED:
+    if dw_stacked:
         kernel = functools.partial(
             _dw_kernel_stacked, K=K, C=C, Cout=Cout, R=R, W=Wk, P=P,
             n_rows=n_rows, fill_kw=fill_kw
         )
         scratch = [
-            pltpu.VMEM((K * C, n_rows * Wk), xp.dtype),
-            pltpu.VMEM((K * Cout, n_rows * Wk), xp.dtype),
+            pltpu.VMEM((K * C, n_rows * Wk), dtype),
+            pltpu.VMEM((K * Cout, n_rows * Wk), dtype),
             pltpu.VMEM((K * Cout, K * C), jnp.float32),
         ]
     else:
@@ -685,7 +724,7 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
             n_rows=n_rows, fill_kw=fill_kw
         )
         scratch = [
-            pltpu.VMEM((K * C, n_rows * Wk), xp.dtype),
+            pltpu.VMEM((K * C, n_rows * Wk), dtype),
             pltpu.VMEM((Cout, K * K * C), jnp.float32),
         ]
     return pl.pallas_call(
@@ -704,17 +743,17 @@ def _conv_dw_padded(xp: jnp.ndarray, dy: jnp.ndarray, K: int, H: int,
         ),
         out_shape=jax.ShapeDtypeStruct((Cout, K * K * C), jnp.float32),
         scratch_shapes=scratch,
-        interpret=_interpret(),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * K * K * C * Cout,
             bytes_accessed=(B * H_in * C_src * W_in + B * H * Cout * W)
-            * xp.dtype.itemsize,
+            * dtype.itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(*([xp_rows] * n_rows), dy_rows)
+    )
 
 
 def _pad_nhcw(x: jnp.ndarray, K: int, pt: int, pleft: int) -> jnp.ndarray:
@@ -875,10 +914,18 @@ def _conv1x1_rows(x: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
     B, H, C, W = x.shape
     Cout = w2.shape[0]
     R = _choose_rows_1x1(H, W, C, x.dtype.itemsize)
-    grid = (B, H // R)
     x_rows = x.reshape(B, H * C, W)
+    out = _conv1x1_call(B, H, C, W, Cout, R, x.dtype, _interpret())(
+        x_rows, w2)
+    return out.reshape(B, H, Cout, W)
+
+
+@functools.lru_cache(maxsize=None)
+def _conv1x1_call(B, H, C, W, Cout, R, dtype, interpret):
+    """Memoized 1x1 forward/dX pallas_call (see _conv_fwd_call)."""
+    grid = (B, H // R)
     kernel = functools.partial(_conv1x1_kernel, C=C, Cout=Cout, R=R, W=W)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -889,15 +936,14 @@ def _conv1x1_rows(x: jnp.ndarray, w2: jnp.ndarray) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, R * Cout, W), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H * Cout, W), x.dtype),
-        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((B, H * Cout, W), dtype),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * Cout,
-            bytes_accessed=(B * H * (C + Cout) * W) * x.dtype.itemsize,
+            bytes_accessed=(B * H * (C + Cout) * W) * dtype.itemsize,
             transcendentals=0,
         ),
-    )(x_rows, w2)
-    return out.reshape(B, H, Cout, W)
+    )
 
 
 def _dw1x1_kernel(x_ref, dy_ref, dw_ref, acc, *, C, Cout, R):
@@ -937,6 +983,13 @@ def _conv1x1_dw(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     B, H, C, W = x.shape
     Cout = dy.shape[2]
     R = _choose_rows_1x1(H, W, C + Cout, x.dtype.itemsize)
+    return _conv1x1_dw_call(B, H, C, W, Cout, R, x.dtype, _interpret())(
+        x.reshape(B, H * C, W), dy.reshape(B, H * Cout, W))
+
+
+@functools.lru_cache(maxsize=None)
+def _conv1x1_dw_call(B, H, C, W, Cout, R, dtype, interpret):
+    """Memoized 1x1 dW pallas_call (see _conv_fwd_call)."""
     grid = (B, H // R)
     kernel = functools.partial(_dw1x1_kernel, C=C, Cout=Cout, R=R)
     return pl.pallas_call(
@@ -952,13 +1005,13 @@ def _conv1x1_dw(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Cout, C), jnp.float32),
         scratch_shapes=[pltpu.VMEM((Cout, C), jnp.float32)],
-        interpret=_interpret(),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * C * Cout,
-            bytes_accessed=(B * H * (C + Cout) * W) * x.dtype.itemsize,
+            bytes_accessed=(B * H * (C + Cout) * W) * dtype.itemsize,
             transcendentals=0,
         ),
-    )(x.reshape(B, H * C, W), dy.reshape(B, H * Cout, W))
+    )
 
 
 def profitable_1x1(width: int, cin: int, cout: int) -> bool:

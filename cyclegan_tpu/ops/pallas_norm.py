@@ -111,9 +111,19 @@ def _forward(x3, gamma, beta, eps, interpret):
         gamma = gamma.reshape(1, c)
         beta = beta.reshape(1, c)
 
+    y, mean, rstd = _forward_call(n, hw, c, chunk, n_chunks, eps, affine,
+                                  x3.dtype, interpret)(x3, gamma, beta)
+    return y, mean, rstd
+
+
+@functools.lru_cache(maxsize=None)
+def _forward_call(n, hw, c, chunk, n_chunks, eps, affine, dtype, interpret):
+    """Memoized pallas_call constructor — a shared callable per static
+    shape lets JAX's trace/lowering caches dedupe repeated layers (see
+    pallas_conv._conv_fwd_call)."""
     kernel = functools.partial(_kernel, hw=hw, eps=eps, affine=affine)
     grid = (n, 2, n_chunks)
-    y, mean, rstd = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -133,7 +143,7 @@ def _forward(x3, gamma, beta, eps, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, hw, c), x3.dtype),
+            jax.ShapeDtypeStruct((n, hw, c), dtype),
             jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
             jax.ShapeDtypeStruct((n, 1, c), jnp.float32),
         ],
@@ -142,8 +152,7 @@ def _forward(x3, gamma, beta, eps, interpret):
             pltpu.VMEM((1, c), jnp.float32),
         ],
         interpret=interpret,
-    )(x3, gamma, beta)
-    return y, mean, rstd
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -345,10 +345,21 @@ def _bwd_stream_kernel(x_hbm, gz_hbm, g_ref, b_ref, mu_ref, rstd_ref,
 def _run_fwd_streamed(x, gamma, beta, eps, act, alpha):
     B, H, C, W = x.shape
     n = H // _stream_chunk(H, C, W)
+    z, mu, rstd = _fwd_stream_call(B, H, C, W, x.dtype, eps, act, alpha,
+                                   n, _interpret())(
+        x, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0))
+    return z, mu, rstd
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_stream_call(B, H, C, W, dtype, eps, act, alpha, n, interpret):
+    """Memoized streamed-fwd pallas_call — a shared callable per static
+    shape lets JAX's trace/lowering caches dedupe the kernel across the
+    step's repeated IN+act layers (see pallas_conv._conv_fwd_call)."""
     kern = functools.partial(_fwd_stream_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
-    bytes_t = 2 * B * H * C * W * x.dtype.itemsize
-    z, mu, rstd = pl.pallas_call(
+    bytes_t = 2 * B * H * C * W * dtype.itemsize
+    return pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -366,16 +377,16 @@ def _run_fwd_streamed(x, gamma, beta, eps, act, alpha):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, C, W), x.dtype),
+            jax.ShapeDtypeStruct((B, H, C, W), dtype),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((H, C, W), x.dtype),          # xbuf (single copy)
+            pltpu.VMEM((H, C, W), dtype),             # xbuf (single copy)
             pltpu.SemaphoreType.DMA((n,)),            # per-chunk in sems
             pltpu.SemaphoreType.DMA((n,)),            # per-chunk out sems
         ],
-        interpret=_interpret(),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # Generous scoped limit like the blocked kernels (v5e has
             # headroom above the 16 MB default): the STREAMED path's real
@@ -388,17 +399,25 @@ def _run_fwd_streamed(x, gamma, beta, eps, act, alpha):
             flops=8 * B * H * C * W, bytes_accessed=bytes_t,
             transcendentals=B * C,
         ),
-    )(x, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0))
-    return z, mu, rstd
+    )
 
 
 def _run_bwd_streamed(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
     B, H, C, W = x.shape
     n = H // _stream_chunk(H, C, W)
+    dx, t1, t2 = _bwd_stream_call(B, H, C, W, x.dtype, eps, act, alpha,
+                                  n, _interpret())(
+        x, gz, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0), mu, rstd)
+    return dx, t1, t2
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_stream_call(B, H, C, W, dtype, eps, act, alpha, n, interpret):
+    """Memoized streamed-bwd pallas_call (see _fwd_stream_call)."""
     kern = functools.partial(_bwd_stream_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
-    bytes_t = 3 * B * H * C * W * x.dtype.itemsize
-    dx, t1, t2 = pl.pallas_call(
+    bytes_t = 3 * B * H * C * W * dtype.itemsize
+    return pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -421,37 +440,45 @@ def _run_bwd_streamed(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, C, W), x.dtype),
+            jax.ShapeDtypeStruct((B, H, C, W), dtype),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((H, C, W), x.dtype),          # xbuf
-            pltpu.VMEM((H, C, W), x.dtype),          # gbuf -> dx staging
+            pltpu.VMEM((H, C, W), dtype),            # xbuf
+            pltpu.VMEM((H, C, W), dtype),            # gbuf -> dx staging
             pltpu.SemaphoreType.DMA((n,)),
             pltpu.SemaphoreType.DMA((n,)),
             pltpu.SemaphoreType.DMA((n,)),
         ],
-        interpret=_interpret(),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,  # see _run_fwd_streamed note
+            vmem_limit_bytes=64 * 1024 * 1024,  # see _fwd_stream_call note
         ),
         cost_estimate=pl.CostEstimate(
             flops=16 * B * H * C * W, bytes_accessed=bytes_t,
             transcendentals=0,
         ),
-    )(x, gz, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0), mu, rstd)
-    return dx, t1, t2
+    )
 
 
 def _run_fwd(x, gamma, beta, eps, act, alpha):
     B, H, C, W = x.shape
     if H * C * W * x.dtype.itemsize >= _STREAM_SLAB_BYTES:
         return _run_fwd_streamed(x, gamma, beta, eps, act, alpha)
+    z, mu, rstd = _fwd_call(B, H, C, W, x.dtype, eps, act, alpha,
+                            _interpret())(
+        x, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0))
+    return z, mu, rstd
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_call(B, H, C, W, dtype, eps, act, alpha, interpret):
+    """Memoized blocked-fwd pallas_call (see _fwd_stream_call)."""
     kern = functools.partial(_fwd_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
-    bytes_t = 2 * B * H * C * W * x.dtype.itemsize
-    z, mu, rstd = pl.pallas_call(
+    bytes_t = 2 * B * H * C * W * dtype.itemsize
+    return pl.pallas_call(
         kern,
         grid=(B,),
         in_specs=[
@@ -471,11 +498,11 @@ def _run_fwd(x, gamma, beta, eps, act, alpha):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, C, W), x.dtype),
+            jax.ShapeDtypeStruct((B, H, C, W), dtype),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
         ],
-        interpret=_interpret(),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             # the 32ch@256 slab plus double-buffering brushes the 16 MB
             # default scoped-vmem limit; v5e has headroom above it
@@ -485,8 +512,7 @@ def _run_fwd(x, gamma, beta, eps, act, alpha):
             flops=8 * B * H * C * W, bytes_accessed=bytes_t,
             transcendentals=B * C,
         ),
-    )(x, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0))
-    return z, mu, rstd
+    )
 
 
 def _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
@@ -494,17 +520,26 @@ def _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
     if H * C * W * x.dtype.itemsize >= _STREAM_SLAB_BYTES:
         return _run_bwd_streamed(x, gz, gamma, beta, mu, rstd, eps, act,
                                  alpha)
+    dx, t1, t2 = _bwd_call(B, H, C, W, x.dtype, gz.dtype == x.dtype, eps,
+                           act, alpha, _interpret())(
+        x, gz, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0), mu, rstd)
+    return dx, t1, t2
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_call(B, H, C, W, dtype, alias_gz, eps, act, alpha, interpret):
+    """Memoized blocked-bwd pallas_call (see _fwd_stream_call)."""
     kern = functools.partial(_bwd_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
-    bytes_t = 3 * B * H * C * W * x.dtype.itemsize
+    bytes_t = 3 * B * H * C * W * dtype.itemsize
     # dx overwrites gz in place (same shape; gz is an intermediate
     # cotangent, dead after this call — XLA copies if it is not): one
     # fewer whole-tensor VMEM buffer, which BASELINE.md measured as the
     # binding constraint at C=32 (x+gz+dx double-buffers exceeded VMEM).
     # In-kernel ordering is safe: pass2 reads gz chunk i before writing
     # dx chunk i and never revisits it.
-    alias = {1: 0} if gz.dtype == x.dtype else {}
-    dx, t1, t2 = pl.pallas_call(
+    alias = {1: 0} if alias_gz else {}
+    return pl.pallas_call(
         kern,
         grid=(B,),
         input_output_aliases=alias,
@@ -531,11 +566,11 @@ def _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, C, W), x.dtype),
+            jax.ShapeDtypeStruct((B, H, C, W), dtype),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, C, 1), jnp.float32),
         ],
-        interpret=_interpret(),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
@@ -543,8 +578,7 @@ def _run_bwd(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
             flops=16 * B * H * C * W, bytes_accessed=bytes_t,
             transcendentals=0,
         ),
-    )(x, gz, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0), mu, rstd)
-    return dx, t1, t2
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

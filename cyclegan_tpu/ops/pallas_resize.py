@@ -142,11 +142,20 @@ def _sum2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     """[B, H, C, W] -> [B, H//2, C, W//2], scaled 2x2 block sums
     (f32 accumulation in-kernel; input stays in its storage dtype)."""
     B, H, C, W = x.shape
-    Ho, Wo = H // 2, W // 2
-    CH = chunk_rows(Ho, C * (2 * W + Wo) * x.dtype.itemsize)
-    grid = (B, Ho // CH)
+    Ho = H // 2
+    CH = chunk_rows(Ho, C * (2 * W + W // 2) * x.dtype.itemsize)
     p = pair_sum_matrix(W, jnp.float32)
-    out = pl.pallas_call(
+    return _sum2x2_call(B, H, C, W, scale, CH, x.dtype, _interpret())(x, p)
+
+
+@functools.lru_cache(maxsize=None)
+def _sum2x2_call(B, H, C, W, scale, CH, dtype, interpret):
+    """Memoized pool pallas_call — a shared callable per static shape
+    lets JAX's trace/lowering caches dedupe the kernel across repeated
+    layers (see pallas_conv._conv_fwd_call)."""
+    Ho, Wo = H // 2, W // 2
+    grid = (B, Ho // CH)
+    return pl.pallas_call(
         functools.partial(_sum2x2_kernel, scale=scale, CH=CH),
         grid=grid,
         in_specs=[
@@ -157,16 +166,15 @@ def _sum2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, CH, C, Wo), lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Ho, C, Wo), x.dtype),
-        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((B, Ho, C, Wo), dtype),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Ho * C * W * Wo,
             bytes_accessed=(B * H * C * W + B * Ho * C * Wo)
-            * x.dtype.itemsize,
+            * dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, p)
-    return out
+    )
 
 
 def _dup2x2_kernel(x_ref, e_ref, out_ref, *, scale, CH):
@@ -193,9 +201,15 @@ def _dup2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
     scaled in-register)."""
     B, H, C, W = x.shape
     CH = chunk_rows(H, 5 * C * W * x.dtype.itemsize)
-    grid = (B, H // CH)
     e = interleave_matrix(W, jnp.float32)
-    out = pl.pallas_call(
+    return _dup2x2_call(B, H, C, W, scale, CH, x.dtype, _interpret())(x, e)
+
+
+@functools.lru_cache(maxsize=None)
+def _dup2x2_call(B, H, C, W, scale, CH, dtype, interpret):
+    """Memoized upsample pallas_call (see _sum2x2_call)."""
+    grid = (B, H // CH)
+    return pl.pallas_call(
         functools.partial(_dup2x2_kernel, scale=scale, CH=CH),
         grid=grid,
         in_specs=[
@@ -207,15 +221,14 @@ def _dup2x2(x: jnp.ndarray, scale: float = 1.0) -> jnp.ndarray:
         out_specs=pl.BlockSpec((1, 2 * CH, C, 2 * W),
                                lambda b, i: (b, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 2 * H, C, 2 * W), x.dtype),
-        interpret=_interpret(),
+        out_shape=jax.ShapeDtypeStruct((B, 2 * H, C, 2 * W), dtype),
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * C * W * 2 * W,
-            bytes_accessed=5 * B * H * C * W * x.dtype.itemsize,
+            bytes_accessed=5 * B * H * C * W * dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, e)
-    return out
+    )
 
 
 @jax.custom_vjp

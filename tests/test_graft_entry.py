@@ -25,14 +25,17 @@ def test_entry_traces():
 # ok=false — the one driver-visible regression of that round). Assume
 # the budget is >= 10 minutes (round 2's two full-width phases passed
 # inside it; round 3's three did not); require the WHOLE 4-phase script
-# to fit in ~8 minutes, with per-phase ceilings so any future phase
+# to fit in ~5.5 minutes, with per-phase ceilings so any future phase
 # addition or config widening fails HERE, in the fast tier, not in the
-# driver. Measured cold-cache on this 1-core host (round 4,
-# tiny-filter configs, single-compile phases 3+4): phase1 31.5-60.2 s,
-# phase2 17.1-24.2 s, phase3 103.7-128.4 s, phase4 134.0 s — totals
-# 182-299 s across three runs under varying harness load.
-_PHASE_BUDGETS_S = {1: 120.0, 2: 70.0, 3: 200.0, 4: 220.0}
-_TOTAL_BUDGET_S = 480.0
+# driver. Round-5 baseline (memoized pallas_call constructors — JAX's
+# trace/lowering caches now dedupe the kernels repeated across the
+# step's 10 network applications; driver-env measurement on this idle
+# 1-core host): phase1 35.0 s, phase2 18.2 s, phase3 54.0 s (was
+# 143.0 in MULTICHIP_r04), phase4 69.6 s (was 169.3) — total 177 s.
+# Ceilings sit at ~2x those measurements, so a driver host twice as
+# loaded as round 4's still passes (VERDICT r4 weak #1 / next #4).
+_PHASE_BUDGETS_S = {1: 90.0, 2: 50.0, 3: 110.0, 4: 140.0}
+_TOTAL_BUDGET_S = 390.0
 
 
 def test_dryrun_multichip_under_driver_default_env():
