@@ -126,6 +126,21 @@ class CycleGan:
             if mesh is not None and int(mesh.shape.get("spatial", 1)) > 1
             else None
         )
+        if self.spatial_axis is not None:
+            from cyclegan_tpu.models import spatial_unsupported_transposes
+
+            bad = spatial_unsupported_transposes(model_config)
+            if bad:
+                raise ValueError(
+                    "spatial (H-sharded) training does not support these "
+                    "conv-transpose kernels (halo algebra needs "
+                    "pad_before' % stride == 0; k3/k4/k7/k8 work at "
+                    "stride 2): "
+                    + ", ".join(f"{net} k{k}" for net, k in bad)
+                    + ". Change the offending 'kernels:' entries (e.g. "
+                    "5 -> 4), use expansion: upsample, or drop "
+                    "--spatial_devices."
+                )
         self.dp_shard_map = bool(train_config.get("dp_shard_map", False))
         tpu_layout = train_config.get("tpu_layout", "auto")
         if isinstance(tpu_layout, str) and tpu_layout.lower() == "auto":
