@@ -37,7 +37,8 @@ BATCH, SIZE = 8, 256
 
 
 def build(tpu_layout: bool, model_config_path: str = "configs/cycle.yaml",
-          batch: int = BATCH, fuse_apps: bool = False):
+          batch: int = BATCH, fuse_apps: bool = False,
+          image_size: int = SIZE):
     model_config = yaml2namespace(model_config_path)
     train_config = yaml2namespace("configs/training_config.yaml")
     models = {
@@ -57,7 +58,7 @@ def build(tpu_layout: bool, model_config_path: str = "configs/cycle.yaml",
                             compute_dtype="bfloat16",
                             tpu_layout=tpu_layout, fuse_apps=fuse_apps)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (batch, SIZE, SIZE, 3))
+    x = jnp.asarray(rng.uniform(-1, 1, (batch, image_size, image_size, 3))
                     ).astype(jnp.bfloat16)
     return train, state, x
 
@@ -148,6 +149,9 @@ def main():
                     help="trace a different recipe (e.g. "
                     "configs/unet_patchgan.yaml, configs/resnet.yaml)")
     ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--image-size", type=int, default=SIZE,
+                    help="trace at a different resolution (e.g. 512 for "
+                    "the high-res training attribution)")
     ap.add_argument("--fuse-apps", action="store_true",
                     help="batch the two generators' independent applies "
                     "(the resnet recipe's shipped default)")
@@ -188,7 +192,7 @@ def main():
         pallas_concat.enable(True)
 
     train, state, x = build(args.nhcw, args.model_config, args.batch,
-                            args.fuse_apps)
+                            args.fuse_apps, args.image_size)
 
     # warm up (compile) outside the trace
     s = state
