@@ -72,10 +72,21 @@ def _interpret() -> bool:
 def profitable(height: int, channels: int, width: int,
                itemsize: int = 2) -> bool:
     """One sample's [H, C, W] slab must fit VMEM (plus f32 working set);
-    C must be sublane-aligned, W lane-aligned-or-divisor."""
+    C must be sublane-aligned, W lane-aligned-or-divisor.
+
+    The 12 MB cap covers the streamed kernels' single-buffered VMEM
+    scratch (backward holds TWO slabs plus chunk temps against the
+    64 MB scoped limit): 512² training's level-1/2 slabs (8.4 / 4.2 MB)
+    dispatch. The original 4 MB cap predated the round-3 streamed path
+    and sent exactly those layers to the XLA fallback — the 512² b4
+    trace showed that fallback at 28 ms/step (14%), 2-3x its HBM bound
+    (round 5). A 16 MB cap was the measured hardware negative: the 512²
+    up-path concat slab ([512, 32, 512] = exactly 16 MB/sample) OOMs
+    the backward's scoped allocation on v5e, so the boundary sits
+    below it; 1024²-class slabs (33.6 MB) are likewise out."""
     slab = height * channels * width * itemsize
     return (
-        slab <= 4 * 1024 * 1024
+        slab <= 12 * 1024 * 1024
         and channels % 8 == 0
         and width % 32 == 0
     )

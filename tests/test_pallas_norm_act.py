@@ -134,6 +134,19 @@ def test_streamed_dispatch_at_real_threshold():
         assert h % ch == 0 and ch >= 1
 
 
+def test_profitable_covers_512_training_slabs():
+    """512² training's level-1/2 slabs (8.4 / 4.2 MB) must dispatch to
+    the (streamed) kernel — the old 4 MB cap sent them to the XLA
+    fallback at 2-3x the HBM bound (28 ms of the 512² b4 step, round-5
+    trace). The 16 MB concat slab must NOT dispatch (measured scoped-
+    VMEM OOM on v5e — the backward holds two slabs), nor 1024²-class
+    slabs."""
+    assert pallas_norm_act.profitable(512, 16, 512)    # 8.4 MB streamed
+    assert pallas_norm_act.profitable(256, 32, 256)    # 4.2 MB streamed
+    assert not pallas_norm_act.profitable(512, 32, 512)  # 16 MB: v5e OOM
+    assert not pallas_norm_act.profitable(1024, 16, 1024)  # 33.6 MB out
+
+
 def test_bf16_storage_f32_stats():
     x = _rand((2, 4, 16, 128), seed=5, dtype=jnp.bfloat16)
     gamma = jnp.ones((16,), jnp.float32)
