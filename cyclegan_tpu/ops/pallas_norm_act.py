@@ -30,6 +30,7 @@ dtype is bf16, and the [H, C, W] slab fits VMEM.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -69,24 +70,39 @@ def _interpret() -> bool:
     return _INTERPRET
 
 
+# Dispatch-gate slab cap and the scoped-vmem limit handed to Mosaic for
+# the STREAMED kernels (env-tunable for hardware A/Bs). Shipped values
+# measured round 5 on the 512² b4 step: cap 16 MB + limit 96 MB lets
+# the [512,32,512] up-path concat slab (exactly 16 MB/sample) dispatch
+# — its backward's Mosaic stack accounting wants 80.5 MB scoped — for
+# 20.95 -> 22.05 img/s (+5.2%; cumulative 19.71 -> 22.05 with the cap
+# raise, +11.9%). The chunk-COUNT cap below is load-bearing at this
+# size: 256 chunks of per-chunk semaphores overflowed the 2 KB sflag
+# space ("exceeded by 92B").
+_PROFIT_CAP = int(os.environ.get("PALLAS_NORM_CAP", 16 * 1024 * 1024))
+_STREAM_VMEM_LIMIT = int(os.environ.get("PALLAS_NORM_VMEM_LIMIT",
+                                        96 * 1024 * 1024))
+
+
 def profitable(height: int, channels: int, width: int,
                itemsize: int = 2) -> bool:
     """One sample's [H, C, W] slab must fit VMEM (plus f32 working set);
     C must be sublane-aligned, W lane-aligned-or-divisor.
 
-    The 12 MB cap covers the streamed kernels' single-buffered VMEM
-    scratch (backward holds TWO slabs plus chunk temps against the
-    64 MB scoped limit): 512² training's level-1/2 slabs (8.4 / 4.2 MB)
-    dispatch. The original 4 MB cap predated the round-3 streamed path
-    and sent exactly those layers to the XLA fallback — the 512² b4
-    trace showed that fallback at 28 ms/step (14%), 2-3x its HBM bound
-    (round 5). A 16 MB cap was the measured hardware negative: the 512²
-    up-path concat slab ([512, 32, 512] = exactly 16 MB/sample) OOMs
-    the backward's scoped allocation on v5e, so the boundary sits
-    below it; 1024²-class slabs (33.6 MB) are likewise out."""
+    The 16 MB cap covers every 512² training slab — levels 1-2
+    (8.4 / 4.2 MB) and the up-path concat ([512, 32, 512] = exactly
+    16 MB/sample) — through the streamed kernels (single-buffered
+    slabs; the backward holds two plus chunk temps, 80.5 MB of the
+    96 MB scoped limit at the largest size). The original 4 MB cap
+    predated the round-3 streamed path and sent exactly those layers
+    to the XLA fallback, measured at 28 ms/step (14%) of the 512² b4
+    step, 2-3x its HBM bound; lifting it measured 19.71 -> 22.05
+    img/s (+11.9%) in two steps (round 5). 1024²-class slabs
+    (33.6 MB) stay out: two of them plus temps exceed even the raised
+    scoped limit."""
     slab = height * channels * width * itemsize
     return (
-        slab <= 12 * 1024 * 1024
+        slab <= _PROFIT_CAP
         and channels % 8 == 0
         and width % 32 == 0
     )
@@ -224,8 +240,22 @@ _STREAM_CHUNK_BYTES = int(
 )
 
 
+# Ceiling on per-call DMA chunk COUNT: each chunk costs one s32 slot in
+# every per-chunk semaphore array, and the TPU's sflag memory space is
+# 2 KB per program. The backward holds 3 sem arrays, so n chunks cost
+# 12n bytes of sflag — n=256 (a 16 MB slab at 64 KB chunks) measured
+# "Used 2.1K of 2.0K sflag, exceeded by 92B" on v5e. 48 chunks keeps
+# the worst kernel at ~0.6 KB while still overlapping DMA and compute
+# (chunks grow to slab/48, e.g. 350 KB on a 16 MB slab).
+_STREAM_MAX_CHUNKS = 48
+
+
 def _stream_chunk(H: int, C: int, W: int, itemsize: int = 2) -> int:
-    rows = max(1, _STREAM_CHUNK_BYTES // (C * W * itemsize))
+    row_bytes = C * W * itemsize
+    target = max(_STREAM_CHUNK_BYTES,
+                 (H * row_bytes + _STREAM_MAX_CHUNKS - 1)
+                 // _STREAM_MAX_CHUNKS)
+    rows = max(1, target // row_bytes)
     for cand in range(min(rows, H), 0, -1):
         if H % cand == 0:
             return cand
@@ -357,13 +387,14 @@ def _run_fwd_streamed(x, gamma, beta, eps, act, alpha):
     B, H, C, W = x.shape
     n = H // _stream_chunk(H, C, W)
     z, mu, rstd = _fwd_stream_call(B, H, C, W, x.dtype, eps, act, alpha,
-                                   n, _interpret())(
+                                   n, _interpret(), _STREAM_VMEM_LIMIT)(
         x, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0))
     return z, mu, rstd
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_stream_call(B, H, C, W, dtype, eps, act, alpha, n, interpret):
+def _fwd_stream_call(B, H, C, W, dtype, eps, act, alpha, n, interpret,
+                     vmem_limit=64 * 1024 * 1024):
     """Memoized streamed-fwd pallas_call — a shared callable per static
     shape lets JAX's trace/lowering caches dedupe the kernel across the
     step's repeated IN+act layers (see pallas_conv._conv_fwd_call)."""
@@ -404,7 +435,7 @@ def _fwd_stream_call(B, H, C, W, dtype, eps, act, alpha, n, interpret):
             # footprint is the single-buffered slabs + chunk f32 temps;
             # a tight limit measured 136 KB short on hardware (Mosaic's
             # stack accounting of the pass temporaries).
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=vmem_limit,
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * B * H * C * W, bytes_accessed=bytes_t,
@@ -417,13 +448,14 @@ def _run_bwd_streamed(x, gz, gamma, beta, mu, rstd, eps, act, alpha):
     B, H, C, W = x.shape
     n = H // _stream_chunk(H, C, W)
     dx, t1, t2 = _bwd_stream_call(B, H, C, W, x.dtype, eps, act, alpha,
-                                  n, _interpret())(
+                                  n, _interpret(), _STREAM_VMEM_LIMIT)(
         x, gz, _scalars(gamma, C, 1.0), _scalars(beta, C, 0.0), mu, rstd)
     return dx, t1, t2
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_stream_call(B, H, C, W, dtype, eps, act, alpha, n, interpret):
+def _bwd_stream_call(B, H, C, W, dtype, eps, act, alpha, n, interpret,
+                     vmem_limit=64 * 1024 * 1024):
     """Memoized streamed-bwd pallas_call (see _fwd_stream_call)."""
     kern = functools.partial(_bwd_stream_kernel, H=H, C=C, W=W, eps=eps,
                              act=act, alpha=alpha)
@@ -464,7 +496,7 @@ def _bwd_stream_call(B, H, C, W, dtype, eps, act, alpha, n, interpret):
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,  # see _fwd_stream_call note
+            vmem_limit_bytes=vmem_limit,  # see _fwd_stream_call note
         ),
         cost_estimate=pl.CostEstimate(
             flops=16 * B * H * C * W, bytes_accessed=bytes_t,

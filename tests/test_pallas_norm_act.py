@@ -135,16 +135,21 @@ def test_streamed_dispatch_at_real_threshold():
 
 
 def test_profitable_covers_512_training_slabs():
-    """512² training's level-1/2 slabs (8.4 / 4.2 MB) must dispatch to
-    the (streamed) kernel — the old 4 MB cap sent them to the XLA
-    fallback at 2-3x the HBM bound (28 ms of the 512² b4 step, round-5
-    trace). The 16 MB concat slab must NOT dispatch (measured scoped-
-    VMEM OOM on v5e — the backward holds two slabs), nor 1024²-class
-    slabs."""
+    """Every 512² training slab (8.4 / 4.2 / 16 MB) must dispatch to
+    the streamed kernel — the old 4 MB cap sent them to the XLA
+    fallback at 2-3x the HBM bound (28 ms of the 512² b4 step; lifting
+    it measured 19.71 -> 22.05 img/s, round 5). 1024²-class slabs stay
+    out (two backward slabs + temps exceed the 96 MB scoped limit).
+    The chunk-count cap is load-bearing at 16 MB: 256 per-chunk
+    semaphores overflowed the 2 KB sflag space on v5e."""
     assert pallas_norm_act.profitable(512, 16, 512)    # 8.4 MB streamed
     assert pallas_norm_act.profitable(256, 32, 256)    # 4.2 MB streamed
-    assert not pallas_norm_act.profitable(512, 32, 512)  # 16 MB: v5e OOM
+    assert pallas_norm_act.profitable(512, 32, 512)    # 16 MB streamed
     assert not pallas_norm_act.profitable(1024, 16, 1024)  # 33.6 MB out
+    # sflag bound: worst dispatched slab stays within ~64 chunks
+    for h, c, w in ((512, 32, 512), (512, 16, 512), (256, 32, 256)):
+        ch = pallas_norm_act._stream_chunk(h, c, w)
+        assert h % ch == 0 and h // ch <= 64
 
 
 def test_bf16_storage_f32_stats():
