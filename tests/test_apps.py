@@ -30,6 +30,21 @@ def test_inference_session_stylize(trained_model_dir):
         assert out.dtype == np.uint8
 
 
+def test_shipped_converged_artifact_loads_and_stylizes():
+    """The shipped full-size trained artifact (model_instances/
+    converged256 — the round-5 convergence-run weights, params-only)
+    must load through InferenceSession and stylize, the analogue of the
+    reference loading its shipped SavedModels (predict.py:11-18,
+    model_instances/model/)."""
+    session = InferenceSession("model_instances/converged256")
+    rng = np.random.default_rng(1)
+    batch = rng.integers(0, 256, size=(1, 64, 64, 3), dtype=np.uint8)
+    out = session.stylize(batch, "a2b")
+    assert out.shape == batch.shape and out.dtype == np.uint8
+    # trained weights produce a non-degenerate translation
+    assert out.std() > 1.0
+
+
 def test_inference_session_shape_buckets(trained_model_dir):
     """Arbitrary-resolution stylization via per-shape compilation, the jit
     answer to the reference's Input([None,None,3]) polymorphism (and
