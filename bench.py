@@ -36,7 +36,8 @@ REFERENCE_GPU_IMAGES_PER_SEC = 2.5
 def build_step(batch_size: int, image_size: int, compute_dtype: str,
                model_config_path: str = "configs/cycle.yaml",
                remat: bool = False, paired: bool = False,
-               tpu_layout: bool = False, fuse_apps: bool = False):
+               tpu_layout: bool = False, fuse_apps: bool = False,
+               pallas_kernels: bool = True):
     import jax
 
     from cyclegan_tpu.config import yaml2namespace
@@ -82,6 +83,7 @@ def build_step(batch_size: int, image_size: int, compute_dtype: str,
         paired=paired,
         tpu_layout=tpu_layout,
         fuse_apps=fuse_apps,
+        pallas_kernels=pallas_kernels,
     )
     state = replicate(
         mesh, init_train_state(jax.random.PRNGKey(0), models, optimizers)
@@ -202,6 +204,12 @@ def main():
 
         pallas_norm.enable(True)
 
+    # --no-pallas-kernels is the NHCW-without-kernel-pack ablation. The
+    # step's packctx scope (not the process-global flag) decides dispatch
+    # since the packctx refactor, so the knob must thread through
+    # make_train_step(pallas_kernels=...) — the global enable_kernel_pack
+    # alone silently became a no-op here (caught by a round-5 knob
+    # re-test measuring 89.22 "without" kernels).
     use_kernels = args.layout == "nhcw" and not args.no_pallas_kernels \
         and not args.paired
     if use_kernels:
@@ -214,6 +222,7 @@ def main():
         remat=args.remat, paired=args.paired,
         tpu_layout=(args.layout == "nhcw" and not args.paired),
         fuse_apps=args.fuse_apps,
+        pallas_kernels=use_kernels or args.layout != "nhcw",
     )
 
     short = max(2, args.warmup)

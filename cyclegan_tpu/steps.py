@@ -169,6 +169,7 @@ def _forward_losses(
     remat: bool = False,
     tpu_layout: bool = False,
     fuse_apps: bool = False,
+    pallas_kernels: bool = True,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
     """Shared forward set + losses (reference: validate_step,
     cyclegan/model.py:91-134).
@@ -193,7 +194,10 @@ def _forward_losses(
         from cyclegan_tpu.ops import layout as _layout
         from cyclegan_tpu.ops import packctx as _packctx
 
-        with _layout.nhcw(), _packctx.scope(True):
+        # pallas_kernels=False is the NHCW-without-kernel-pack ablation
+        # (bench.py --no-pallas-kernels); scope(False) pins the pack OFF
+        # for this trace even though the layout is lane-dense.
+        with _layout.nhcw(), _packctx.scope(pallas_kernels):
             return _forward_losses(
                 params, model_state, models, loss_obj, loss_weights,
                 _layout.to_nhcw(real_a), _layout.to_nhcw(real_b),
@@ -332,7 +336,8 @@ def _forward_losses(
     return surrogate, metrics, new_model_state
 
 
-def _pack_scoped(fn: Callable, tpu_layout: bool) -> Callable:
+def _pack_scoped(fn: Callable, tpu_layout: bool,
+                 pallas_kernels: bool = True) -> Callable:
     """Wrap a to-be-jitted step so the WHOLE trace — including
     custom-VJP backward rules, which JAX traces at transposition time,
     well after ``_forward_losses``' own with-block has exited — runs
@@ -344,7 +349,7 @@ def _pack_scoped(fn: Callable, tpu_layout: bool) -> Callable:
 
     @functools.wraps(fn)
     def scoped(*args, **kwargs):
-        with packctx.scope(True):
+        with packctx.scope(pallas_kernels):
             return fn(*args, **kwargs)
 
     return scoped
@@ -534,6 +539,7 @@ def make_validate_step(
     compute_dtype: str = "float32",
     tpu_layout: bool = False,
     fuse_apps: bool = False,
+    pallas_kernels: bool = True,
     shard_map_dp: bool = False,
 ) -> Callable:
     """Build the jitted eval step (reference: validate_step with
@@ -576,6 +582,7 @@ def make_validate_step(
             compute_dtype=cdtype,
             tpu_layout=tpu_layout,
             fuse_apps=fuse_apps,
+            pallas_kernels=pallas_kernels,
         )
         mean_axes = tuple(n for n in (axis_name, spatial_name)
                           if n is not None)
@@ -594,7 +601,7 @@ def make_validate_step(
                 _pack_scoped(
                     functools.partial(validate_step, axis_name=mesh_axis,
                                       spatial_name=spatial_axis),
-                    tpu_layout,
+                    tpu_layout, pallas_kernels,
                 ),
                 spatial_axis, n_sp,
             )
@@ -608,7 +615,8 @@ def make_validate_step(
             )
             return jax.jit(sm)
         body = _pack_scoped(
-            functools.partial(validate_step, axis_name=mesh_axis), tpu_layout
+            functools.partial(validate_step, axis_name=mesh_axis),
+            tpu_layout, pallas_kernels,
         )
         sm = jax.shard_map(
             body,
@@ -619,7 +627,7 @@ def make_validate_step(
         )
         return jax.jit(sm)
     _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
-    validate_step = _pack_scoped(validate_step, tpu_layout)
+    validate_step = _pack_scoped(validate_step, tpu_layout, pallas_kernels)
     if mesh is None:
         return jax.jit(validate_step)
     replicated, batch = _batch_shardings(mesh, mesh_axis, spatial_axis)
@@ -645,6 +653,7 @@ def make_train_step(
     paired: bool = False,
     tpu_layout: bool = False,
     fuse_apps: bool = False,
+    pallas_kernels: bool = True,
     shard_map_dp: bool = False,
 ) -> Callable:
     """Build the jitted train step: one forward set, ONE backward pass,
@@ -714,6 +723,7 @@ def make_train_step(
                 remat=remat,
                 tpu_layout=tpu_layout,
                 fuse_apps=fuse_apps,
+                pallas_kernels=pallas_kernels,
             )
         return surrogate, (metrics, new_model_state)
 
@@ -804,7 +814,7 @@ def make_train_step(
                 _pack_scoped(
                     functools.partial(train_step, axis_name=mesh_axis,
                                       spatial_name=spatial_axis),
-                    tpu_layout,
+                    tpu_layout, pallas_kernels,
                 ),
                 spatial_axis, n_sp,
             )
@@ -818,7 +828,8 @@ def make_train_step(
             )
             return jax.jit(sm, donate_argnums=donate_argnums)
         body = _pack_scoped(
-            functools.partial(train_step, axis_name=mesh_axis), tpu_layout
+            functools.partial(train_step, axis_name=mesh_axis),
+            tpu_layout, pallas_kernels,
         )
         sm = jax.shard_map(
             body,
@@ -829,7 +840,7 @@ def make_train_step(
         )
         return jax.jit(sm, donate_argnums=donate_argnums)
     _check_spatial_kernel_exclusion(spatial_axis, tpu_layout)
-    train_step = _pack_scoped(train_step, tpu_layout)
+    train_step = _pack_scoped(train_step, tpu_layout, pallas_kernels)
     if mesh is None:
         return jax.jit(train_step, donate_argnums=donate_argnums)
     replicated, batch = _batch_shardings(mesh, mesh_axis, spatial_axis)
@@ -856,6 +867,7 @@ def make_train_multi_step(
     paired: bool = False,
     tpu_layout: bool = False,
     fuse_apps: bool = False,
+    pallas_kernels: bool = True,
     shard_map_dp: bool = False,
 ) -> Callable:
     """Build a jitted K-step trainer: ``(state, real_a, real_b) ->
@@ -880,6 +892,7 @@ def make_train_multi_step(
         donate=False, preprocess=preprocess, mesh=None,
         compute_dtype=compute_dtype, remat=remat, paired=paired,
         tpu_layout=tpu_layout, fuse_apps=fuse_apps,
+        pallas_kernels=pallas_kernels,
     )
     # un-jitted body: reuse the single-step computation inside the scan
     inner = single.__wrapped__

@@ -72,3 +72,47 @@ def test_scoped_kernel_matches_default_path():
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=0.02, atol=0.02,
     )
+
+
+def test_pallas_kernels_flag_disables_dispatch_in_step():
+    """make_train_step(pallas_kernels=False) must trace ZERO pallas_call
+    equations even with tpu_layout=True — the bench.py
+    --no-pallas-kernels ablation. Regression: since the packctx
+    refactor the step's scope(True) overrode the process-global
+    enable_kernel_pack(False), so the documented opt-out silently
+    benched the full kernel pack (round-5 knob re-test: 89.22 img/s
+    "without" kernels vs 90.08 with)."""
+    from cyclegan_tpu.config import Namespace
+    from cyclegan_tpu.models import create_model
+    from cyclegan_tpu.optimizers import get_optimizer
+    from cyclegan_tpu.steps import init_train_state, make_train_step
+
+    net = dict(type="unet_generator", filters=[16], kernels=[4],
+               output_channels=3, expansion="upsample",
+               normalization="instancenorm", dropout=False,
+               final_activation="tanh")
+    disc = dict(net, output_channels=1, final_activation="sigmoid")
+    models = {"g_AB": create_model(Namespace(net)),
+              "g_BA": create_model(Namespace(net)),
+              "d_A": create_model(Namespace(disc)),
+              "d_B": create_model(Namespace(disc))}
+    opts = {k: get_optimizer(dict(name="adam", learning_rate=2e-4,
+                                  beta_1=0.5)) for k in models}
+    weights = dict(cycle=2.0, identity=0.5, generator=1.0,
+                   discriminator=0.5)
+    state = init_train_state(jax.random.PRNGKey(0), models, opts)
+    x = jnp.zeros((1, 8, 128, 3), jnp.float32)
+
+    counts = {}
+    for flag in (True, False):
+        step = make_train_step(models, opts, "mse", weights, donate=False,
+                               compute_dtype="bfloat16", tpu_layout=True,
+                               pallas_kernels=flag)
+        counts[flag] = str(jax.make_jaxpr(
+            lambda s, a, b: step.__wrapped__(s, a, b)
+        )(state, x, x)).count("pallas_call")
+    assert counts[True] > 0, "kernel pack did not dispatch at all"
+    assert counts[False] == 0, (
+        f"pallas_kernels=False still traced {counts[False]} pallas_call "
+        "equations - the ablation knob is broken again"
+    )
